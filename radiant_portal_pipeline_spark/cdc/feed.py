@@ -1,0 +1,109 @@
+"""Deterministic transcript change feeds.
+
+Two generators, one arithmetic:
+
+- ``synthetic_feed`` — ``spark.range(n)`` based, fully deterministic
+  (no RNG), with a skew knob: every 5th event lands in one hot
+  conversation (``conv-hot``), modelling the hot-partition problem the
+  reference bounds with occupancy caps
+  (radiant/tasks/starrocks/partition.py:91-165, SURVEY.md ST9/X15).
+- ``feed_from_events`` — the same mapping applied to the driver-provided
+  ``events`` table, so a DuckDB oracle can reproduce the feed exactly
+  (``feed_sql`` renders the identical SQL in either dialect).
+
+Feed columns: transcript payload (conv_id, turn_idx, role, text, tool,
+ts) + CDC envelope (op I/U/D — 'error' events are deletes — lsn =
+event_id, commit_epoch = lsn // EPOCH_SIZE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+N_CONVS = 97
+MAX_TURNS = 50
+HOT_EVERY = 5
+HOT_TURNS = 200
+EPOCH_SIZE = 2000
+
+_FEED_TEMPLATE = """
+SELECT
+  CASE WHEN event_id % {hot} = 0 THEN 'conv-hot'
+       ELSE 'conv-' || CAST(event_id % {nconv} AS {str_t}) END AS conv_id,
+  CAST(CASE WHEN event_id % {hot} = 0 THEN (event_id {div} {hot}) % {hot_turns}
+            ELSE (event_id {div} {nconv}) % {turns} END AS INTEGER) AS turn_idx,
+  CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+  'msg-' || CAST(event_id AS {str_t}) || '-' || event_type AS text,
+  CASE WHEN event_type = 'click' THEN 'browser'
+       WHEN event_type = 'purchase' THEN 'checkout'
+       ELSE NULL END AS tool,
+  ts,
+  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+  CAST(event_id AS BIGINT) AS lsn,
+  CAST(event_id {div} {epoch} AS BIGINT) AS commit_epoch
+FROM {source}
+"""
+
+
+def feed_sql(dialect: str, source: str = "events") -> str:
+    """Render the feed derivation for 'spark' or 'duckdb'."""
+    if dialect == "spark":
+        div, str_t = "DIV", "STRING"
+    elif dialect == "duckdb":
+        div, str_t = "//", "VARCHAR"
+    else:
+        raise ValueError(dialect)
+    return _FEED_TEMPLATE.format(
+        hot=HOT_EVERY,
+        nconv=N_CONVS,
+        hot_turns=HOT_TURNS,
+        turns=MAX_TURNS,
+        div=div,
+        str_t=str_t,
+        epoch=EPOCH_SIZE,
+        source=source,
+    )
+
+
+def feed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("_cdc_events_src")
+    return spark.sql(feed_sql("spark", source="_cdc_events_src"))
+
+
+def synthetic_feed(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = N_CONVS,
+    payload_chars: int = 200,
+) -> DataFrame:
+    """Purely generated feed for benchmarks: same envelope arithmetic,
+    event_type derived from the id, text padded to ``payload_chars``
+    to carry realistic bytes through the shuffle."""
+    from pyspark.sql import functions as F
+
+    types = ["click", "view", "signup", "purchase", "error"]
+    df = spark.range(n_events).withColumnRenamed("id", "event_id")
+    event_type = F.element_at(
+        F.array(*[F.lit(t) for t in types]),
+        (F.pmod(F.xxhash64("event_id"), F.lit(len(types))) + 1).cast("int"),
+    )
+    df = (
+        df.withColumn("event_type", event_type)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 86400),
+        )
+        .createOrReplaceTempView("_cdc_synth_src")
+    )
+    feed = spark.sql(
+        feed_sql("spark", source="_cdc_synth_src").replace(
+            f"% {N_CONVS}", f"% {n_convs}"
+        )
+    )
+    if payload_chars:
+        feed = feed.withColumn(
+            "text",
+            F.rpad(F.col("text"), payload_chars, "x"),
+        )
+    return feed

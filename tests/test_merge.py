@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.cdc import TranscriptMergeEngine, lww_dedup
+from radiant_portal_pipeline_spark.cdc.feed import feed_from_events
+from radiant_portal_pipeline_spark.cdc.schemas import CHANGE_EVENT_SCHEMA
+
+TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(conv, turn, op, lsn, text, tool=None, role="user", epoch=0):
+    return (conv, turn, role, text, tool, TS, op, lsn, epoch)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "transcripts"))
+    return TranscriptMergeEngine(tbl, num_buckets=8)
+
+
+def state(engine):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["lsn"])
+        for r in engine.current_state().collect()
+    }
+
+
+def test_lww_dedup_agg_matches_window(spark):
+    rows = [
+        _ev("c1", 0, "U", 5, "new"),
+        _ev("c1", 0, "U", 3, "old"),
+        _ev("c1", 1, "U", 1, "only"),
+        _ev("c2", 0, "D", 9, "del"),
+        _ev("c2", 0, "U", 8, "upd"),
+    ]
+    df = _batch(spark, rows)
+    a = lww_dedup(df, ["conv_id", "turn_idx"], ["lsn"])
+    b = lww_dedup(df, ["conv_id", "turn_idx"], ["lsn"], use_window=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    got = {(r["conv_id"], r["turn_idx"]): r["lsn"] for r in a.collect()}
+    assert got == {("c1", 0): 5, ("c1", 1): 1, ("c2", 0): 9}
+
+
+def test_merge_upsert_update_delete(engine, spark):
+    engine.merge_batch(
+        _batch(spark, [_ev("c1", 0, "I", 1, "hello"), _ev("c1", 1, "I", 2, "world")]),
+        epoch=0,
+    )
+    assert state(engine) == {("c1", 0): ("hello", 1), ("c1", 1): ("world", 2)}
+    engine.merge_batch(
+        _batch(spark, [_ev("c1", 0, "U", 3, "hello!"), _ev("c1", 1, "D", 4, "x")]),
+        epoch=1,
+    )
+    assert state(engine) == {("c1", 0): ("hello!", 3)}
+
+
+def test_merge_exactly_once_replay(engine, spark):
+    b0 = _batch(spark, [_ev("c1", 0, "I", 1, "v1")])
+    b1 = _batch(spark, [_ev("c1", 0, "U", 2, "v2")])
+    assert not engine.merge_batch(b0, epoch=0).skipped
+    assert not engine.merge_batch(b1, epoch=1).skipped
+    # replaying either batch (same epoch) is a no-op
+    assert engine.merge_batch(b0, epoch=0).skipped
+    assert engine.merge_batch(b1, epoch=1).skipped
+    assert state(engine) == {("c1", 0): ("v2", 2)}
+
+
+def test_out_of_order_lsn_across_batches(engine, spark):
+    engine.merge_batch(_batch(spark, [_ev("c1", 0, "U", 10, "newest")]), epoch=0)
+    # a straggler with a lower lsn must NOT overwrite
+    engine.merge_batch(_batch(spark, [_ev("c1", 0, "U", 5, "stale")]), epoch=1)
+    assert state(engine) == {("c1", 0): ("newest", 10)}
+
+
+def test_tombstone_blocks_resurrection(engine, spark):
+    engine.merge_batch(_batch(spark, [_ev("c1", 0, "D", 10, "gone")]), epoch=0)
+    # out-of-order update older than the delete arrives later
+    engine.merge_batch(_batch(spark, [_ev("c1", 0, "U", 5, "zombie")]), epoch=1)
+    assert state(engine) == {}
+    # but a genuinely newer write revives the key
+    engine.merge_batch(_batch(spark, [_ev("c1", 0, "U", 11, "back")]), epoch=2)
+    assert state(engine) == {("c1", 0): ("back", 11)}
+
+
+def test_schema_evolution_mid_stream(engine, spark):
+    engine.merge_batch(_batch(spark, [_ev("c1", 0, "I", 1, "plain")]), epoch=0)
+    wider = _batch(spark, [_ev("c2", 0, "I", 2, "rich")]).withColumn(
+        "model", F.lit("m-1")
+    )
+    engine.merge_batch(wider, epoch=1)
+    out = {
+        r["conv_id"]: r["model"]
+        for r in engine.current_state(include_meta=True).collect()
+    }
+    assert out == {"c1": None, "c2": "m-1"}
+
+
+def test_replay_from_scratch_equals_incremental(engine, spark, tmp_path, sf_smoke):
+    """Byte-identical final state: applying the feed in epoch batches
+    equals applying it in one batch (per BASELINE.json north_rule)."""
+    feed = feed_from_events(spark, sf_smoke).cache()
+    epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
+    for e in epochs:
+        engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
+
+    tbl2 = TranscriptMergeEngine.create_table(spark, str(tmp_path / "oneshot"))
+    eng2 = TranscriptMergeEngine(tbl2, num_buckets=8)
+    eng2.merge_batch(feed, epoch=0)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    a = sorted(map(tuple, engine.current_state().select(cols).collect()))
+    b = sorted(map(tuple, eng2.current_state().select(cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_lineage_watermarks(engine, spark):
+    engine.merge_batch(
+        _batch(
+            spark,
+            [_ev("c1", 0, "I", 1, "a"), _ev("c2", 0, "I", 2, "b"), _ev("c2", 1, "D", 3, "c")],
+        ),
+        epoch=0,
+    )
+    wm = {r["part"]: r for r in engine.applied_lsn_watermarks().collect()}
+    assert sum(r["rows_total"] for r in wm.values()) == 3
+    assert sum(r["tombstones"] for r in wm.values()) == 1
+    assert max(r["applied_lsn"] for r in wm.values()) == 3
