@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay at sf0.001; ``queries()``
+exposes every implemented operator from SURVEY.md §2 (plus the
+training-data operators) as named callables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible one. The registry lives
+in ``radiant_portal_pipeline_spark.operators.registry`` and is populated
+by importing the operator modules below.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# populate the registry
+import radiant_portal_pipeline_spark.operators.relational  # noqa: F401,E402
+import radiant_portal_pipeline_spark.cdc.queries  # noqa: F401,E402
+
+try:  # text / similarity / multimodal operator packs
+    import radiant_portal_pipeline_spark.text.queries  # noqa: F401,E402
+    import radiant_portal_pipeline_spark.sim.queries  # noqa: F401,E402
+    import radiant_portal_pipeline_spark.multimodal.queries  # noqa: F401,E402
+except ImportError:
+    pass
+
+from radiant_portal_pipeline_spark.operators.registry import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return REGISTRY["cdc_lww_final_state"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -60,11 +60,8 @@ _SRC_RANK = "_src_rank"  # tie-break: batch row beats existing row at equal lsn
 class MergeStats:
     epoch: int
     skipped: bool
-    events_in: int = 0
-    keys_in_batch: int = 0
     parts_touched: int = 0
-    rows_deleted: int = 0
-    rows_live: int = 0
+    parts: list = None
     seconds: float = 0.0
 
 
@@ -134,13 +131,13 @@ class TranscriptMergeEngine:
             epoch=epoch,
             also_replace=parts,
         )
-        stats = MergeStats(
+        return MergeStats(
             epoch=epoch,
             skipped=result is None,
             parts_touched=len(parts),
+            parts=parts,
             seconds=time.time() - t0,
         )
-        return stats
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,164 @@
+"""CDC engine queries for the driver contract.
+
+These run the REAL engine (LakeTable + TranscriptMergeEngine +
+Structured Streaming) against the events-derived change feed and expose
+the final table state as a DataFrame, with a pure-SQL DuckDB oracle
+computing the same replay semantics independently (window LWW +
+tombstone exclusion). This is the flagship correctness surface: if the
+merge engine mis-applies a single event, the value hash diverges.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.cdc.feed import feed_from_events, feed_sql
+from radiant_portal_pipeline_spark.cdc.dedup import lww_dedup
+from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+from radiant_portal_pipeline_spark.cdc.stream import (
+    run_cdc_stream,
+    write_feed_partitions,
+)
+from radiant_portal_pipeline_spark.lake import LakeTable
+from radiant_portal_pipeline_spark.operators.registry import query
+
+_FINAL_STATE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+
+_ORACLE_FINAL_STATE = f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("cdc_feed_derivation", oracle=feed_sql("duckdb"))
+def cdc_feed_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic change-feed derivation itself (projection +
+    CASE envelope, SURVEY.md §2.2 P6/P8)."""
+    return feed_from_events(spark, sf_dir)
+
+
+@query(
+    "cdc_lww_dedup",
+    oracle=f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id, turn_idx, op, lsn, text FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as the engine runs it: max-struct LWW aggregation (map-side
+    partial combine — skew-safe), vs the oracle's row_number window."""
+    feed = feed_from_events(spark, sf_dir)
+    return lww_dedup(feed, ["conv_id", "turn_idx"], ["lsn"]).select(
+        "conv_id", "turn_idx", "op", "lsn", "text"
+    )
+
+
+@query("cdc_lww_final_state", oracle=_ORACLE_FINAL_STATE)
+def cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full batch CDC replay — feed applied epoch-by-epoch
+    through the merge engine into a LakeTable (partition-pruned
+    copy-on-write, tombstones, epoch guard), final state read back.
+    Matches the reference's end state after its incremental import loop
+    (SURVEY.md §3.1-3.2)."""
+    work = tempfile.mkdtemp(prefix="cdc_q_")
+    feed = feed_from_events(spark, sf_dir)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
+    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
+    for e in epochs:
+        engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
+    return engine.current_state().select(*_FINAL_STATE_COLS)
+
+
+@query("cdc_stream_final_state", oracle=_ORACLE_FINAL_STATE)
+def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (streaming): the same replay through Structured
+    Streaming — file-source tail, foreachBatch merge, checkpointed,
+    restarted once mid-feed to prove resume — then final state."""
+    work = tempfile.mkdtemp(prefix="cdc_s_")
+    feed = feed_from_events(spark, sf_dir)
+    half = feed.filter(F.col("lsn") % 2 == 0)
+    rest = feed.filter(F.col("lsn") % 2 == 1)
+
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
+    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    lineage = LineageWriter(spark, f"{work}/lineage")
+
+    write_feed_partitions(half.withColumn("s", F.lit(0)), f"{work}/feed", "s")
+    run_cdc_stream(spark, f"{work}/feed", engine, f"{work}/ckpt", lineage=lineage)
+    # stop/restart: new engine instance, more files, same checkpoint
+    engine2 = TranscriptMergeEngine(LakeTable(spark, f"{work}/t"), num_buckets=16)
+    write_feed_partitions(rest.withColumn("s", F.lit(1)), f"{work}/feed", "s")
+    run_cdc_stream(spark, f"{work}/feed", engine2, f"{work}/ckpt", lineage=lineage)
+    return engine2.current_state().select(*_FINAL_STATE_COLS)
+
+
+@query(
+    "cdc_delta_vs_state",
+    oracle=f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    state AS (SELECT DISTINCT conv_id, turn_idx FROM feed WHERE commit_epoch = 0)
+    SELECT f.conv_id, f.turn_idx, f.lsn
+    FROM feed f ANTI JOIN state s
+      ON f.conv_id = s.conv_id AND f.turn_idx = s.turn_idx
+    """,
+)
+def cdc_delta_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/J1: change-capture anti-join — new feed rows whose key is
+    absent from already-ingested state (the delta view,
+    staging_sequencing_experiment_delta_create_table.sql:2-12)."""
+    feed = feed_from_events(spark, sf_dir)
+    state = (
+        feed.filter(F.col("commit_epoch") == 0)
+        .select("conv_id", "turn_idx")
+        .distinct()
+    )
+    return feed.join(state, ["conv_id", "turn_idx"], "left_anti").select(
+        "conv_id", "turn_idx", "lsn"
+    )
+
+
+@query(
+    "cdc_tombstone_counts",
+    oracle=f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_tombstones
+    FROM ranked WHERE rn = 1 GROUP BY conv_id
+    """,
+)
+def cdc_tombstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: delete propagation — per conversation, how many keys ended
+    deleted vs live after replay (run through the real engine,
+    including tombstone rows)."""
+    work = tempfile.mkdtemp(prefix="cdc_t_")
+    feed = feed_from_events(spark, sf_dir)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
+    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    engine.merge_batch(feed, epoch=0)
+    return (
+        engine.table.read()  # full table INCLUDING tombstone rows
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("n_tombstones"),
+        )
+    )

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.cdc import TranscriptMergeEngine
+from radiant_portal_pipeline_spark.cdc.feed import feed_from_events
+from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+from radiant_portal_pipeline_spark.cdc.stream import (
+    run_cdc_stream,
+    write_feed_partitions,
+)
+from radiant_portal_pipeline_spark.lake import LakeTable
+
+
+def _final(engine):
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    return sorted(map(tuple, engine.current_state().select(cols).collect()))
+
+
+def test_stream_end_to_end_with_resume(spark, tmp_path, sf_smoke):
+    """Stream the feed in 1-file micro-batches; kill between runs; a
+    restart with the same checkpoint must not reprocess applied batches
+    and must converge to the one-shot batch state."""
+    feed = feed_from_events(spark, sf_smoke).cache()
+    feed_dir = str(tmp_path / "feed")
+
+    # stage only the first half of the feed, stream it
+    half = feed.filter(F.col("lsn") < 500)
+    rest = feed.filter(F.col("lsn") >= 500)
+    write_feed_partitions(half.withColumn("slice", F.col("lsn") % 2), feed_dir, "slice")
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
+    engine = TranscriptMergeEngine(tbl, num_buckets=8)
+    lineage = LineageWriter(spark, str(tmp_path / "lineage"))
+    ckpt = str(tmp_path / "ckpt")
+
+    r1 = run_cdc_stream(
+        spark, feed_dir, engine, ckpt, lineage=lineage, max_files_per_trigger=1
+    )
+    applied_1 = [b.epoch for b in r1.batches if not b.skipped]
+    assert len(applied_1) == 2  # two files, one per micro-batch
+
+    # "crash": new engine object; new files arrive; resume from checkpoint
+    engine2 = TranscriptMergeEngine(LakeTable(spark, str(tmp_path / "t")), num_buckets=8)
+    write_feed_partitions(rest.withColumn("slice", F.lit(9)), feed_dir, "slice")
+    r2 = run_cdc_stream(
+        spark, feed_dir, engine2, ckpt, lineage=lineage, max_files_per_trigger=1
+    )
+    # resumed batch ids continue after the applied ones; none re-applied
+    assert all(b.epoch >= len(applied_1) for b in r2.batches)
+
+    # reference state: one-shot merge of the whole feed
+    tbl_ref = TranscriptMergeEngine.create_table(spark, str(tmp_path / "ref"))
+    ref = TranscriptMergeEngine(tbl_ref, num_buckets=8)
+    ref.merge_batch(feed, epoch=0)
+    assert _final(engine2) == _final(ref)
+
+    # a third run with nothing new applies nothing
+    r3 = run_cdc_stream(spark, feed_dir, engine2, ckpt, max_files_per_trigger=1)
+    assert [b for b in r3.batches if not b.skipped] == []
+
+    # lineage has rows for every applied batch, watermarks monotone per part
+    lin = lineage.read()
+    assert lin.count() > 0
+    per_part = (
+        lin.groupBy("part", "epoch").agg(F.max("applied_lsn").alias("wm"))
+        .orderBy("part", "epoch")
+        .collect()
+    )
+    seen = {}
+    for r in per_part:
+        assert seen.get(r["part"], -1) <= r["wm"]
+        seen[r["part"]] = r["wm"]
