@@ -76,10 +76,26 @@ def synthetic_feed(
     n_events: int,
     n_convs: int = N_CONVS,
     payload_chars: int = 200,
+    dup_frac: float = 0.0,
+    ooo_window: int = 0,
+    evolve_from_lsn: int | None = None,
 ) -> DataFrame:
-    """Purely generated feed for benchmarks: same envelope arithmetic,
-    event_type derived from the id, text padded to ``payload_chars``
-    to carry realistic bytes through the shuffle."""
+    """Purely generated feed for benchmarks and property tests
+    (FIXTURES.md F2). Same envelope arithmetic as the events-derived
+    feed; deterministic (no RNG). Knobs:
+
+    - ``dup_frac`` — fraction of events re-emitted VERBATIM (same lsn)
+      to exercise idempotent apply (ref utils.py:73-96);
+    - ``ooo_window`` — out-of-order delivery: within blocks of W
+      events the DELIVERY epoch is assigned from a coprime-stride
+      permutation of the position, so an epoch can carry lsns that are
+      lower than ones already delivered (LWW straggler tests, ref W1);
+    - ``evolve_from_lsn`` — events at/after this lsn carry additive
+      ``meta_model``/``meta_tokens`` columns (schema-evolution batch,
+      ref migrations SURVEY.md §1.2). Earlier events have them NULL —
+      callers simulating true mid-stream evolution should drop the
+      columns for earlier batches.
+    """
     from pyspark.sql import functions as F
 
     types = ["click", "view", "signup", "purchase", "error"]
@@ -88,22 +104,44 @@ def synthetic_feed(
         F.array(*[F.lit(t) for t in types]),
         (F.pmod(F.xxhash64("event_id"), F.lit(len(types))) + 1).cast("int"),
     )
-    df = (
-        df.withColumn("event_type", event_type)
-        .withColumn(
-            "ts",
-            F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 86400),
-        )
-        .createOrReplaceTempView("_cdc_synth_src")
+    df = df.withColumn("event_type", event_type).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 86400)
     )
+    if dup_frac > 0:
+        dups = df.filter(
+            F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(10_000))
+            < F.lit(int(dup_frac * 10_000))
+        )
+        df = df.unionAll(dups)
+    df.createOrReplaceTempView("_cdc_synth_src")
     feed = spark.sql(
         feed_sql("spark", source="_cdc_synth_src").replace(
             f"% {N_CONVS}", f"% {n_convs}"
         )
     )
     if payload_chars:
+        feed = feed.withColumn("text", F.rpad(F.col("text"), payload_chars, "x"))
+    if ooo_window > 1:
+        # bijection within each block of W positions: pos' = (pos *
+        # stride) % W with stride coprime to W — a permutation, so every
+        # event is delivered exactly once, displaced at most W-1 slots.
+        w = ooo_window
+        stride = 7 if w % 7 else (11 if w % 11 else 3)
+        delivery_pos = (F.col("lsn") - F.col("lsn") % w) + (
+            F.col("lsn") % w * stride
+        ) % w
         feed = feed.withColumn(
-            "text",
-            F.rpad(F.col("text"), payload_chars, "x"),
+            "commit_epoch", F.floor(delivery_pos / EPOCH_SIZE).cast("long")
+        )
+    if evolve_from_lsn is not None:
+        feed = feed.withColumn(
+            "meta_model",
+            F.when(F.col("lsn") >= evolve_from_lsn, F.lit("m-2")),
+        ).withColumn(
+            "meta_tokens",
+            F.when(
+                F.col("lsn") >= evolve_from_lsn,
+                (F.col("lsn") % 512).cast("int"),
+            ),
         )
     return feed

@@ -1,16 +1,25 @@
-"""Per-batch, per-partition lineage / metrics emission.
+"""Per-batch, per-partition lineage / metrics emission (FIXTURES.md F3/F4).
 
 The reference emits OTel spans around each pipeline phase
 (radiant/tasks/tracing/trace.py:1-27) and advances an ``ingested_at``
 watermark post-run. Here every applied micro-batch appends one row per
-touched partition to a lineage LakeTable: applied-LSN watermark, live
-row count, tombstone count, and merge latency — queryable like any
-other table and itself transactional.
+touched partition to a lineage LakeTable: applied-LSN watermark, MERGE
+row counts, and merge latency — queryable like any other table and
+itself transactional.
+
+Row-count semantics per (batch, bucket):
+- ``rows_inserted``  — keys newly created by the batch
+- ``rows_updated``   — keys whose winner changed to a batch row
+- ``rows_deleted``   — keys tombstoned by the batch
+In MoR the pre-image isn't read on the write path (that's the point),
+so the split comes from a manifest-pruned anti-join of the batch's keys
+against the PRIOR snapshot of only the touched buckets — still
+partition-pruned, still no full-table scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -19,12 +28,13 @@ from radiant_portal_pipeline_spark.lake import LakeTable
 
 LINEAGE_SCHEMA = T.StructType(
     [
-        T.StructField("epoch", T.LongType(), False),
-        T.StructField("part", T.IntegerType(), False),
-        T.StructField("applied_lsn", T.LongType(), True),
-        T.StructField("rows_total", T.LongType(), True),
-        T.StructField("tombstones", T.LongType(), True),
-        T.StructField("merge_seconds", T.DoubleType(), True),
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("part_bucket", T.IntegerType(), False),
+        T.StructField("applied_lsn_watermark", T.LongType(), True),
+        T.StructField("rows_inserted", T.LongType(), True),
+        T.StructField("rows_updated", T.LongType(), True),
+        T.StructField("rows_deleted", T.LongType(), True),
+        T.StructField("merge_ms", T.DoubleType(), True),
     ]
 )
 
@@ -34,31 +44,80 @@ class LineageWriter:
         if LakeTable.exists(path):
             self.table = LakeTable(spark, path)
         else:
-            self.table = LakeTable.create(spark, path, LINEAGE_SCHEMA, "part")
+            self.table = LakeTable.create(spark, path, LINEAGE_SCHEMA, "part_bucket")
         self.spark = spark
 
-    def record(self, epoch: int, sink: LakeTable, parts: list, seconds: float) -> None:
-        """Append watermarks for the partitions touched by ``epoch``."""
+    def record(
+        self,
+        batch_id: int,
+        sink: LakeTable,
+        prepared_batch: DataFrame,
+        parts: list,
+        seconds: float,
+        prior_version: int,
+        key_cols: list[str],
+        lsn_col: str = S.LSN_COL,
+    ) -> None:
+        """Append watermarks + I/U/D counts for the touched partitions.
+
+        ``prepared_batch`` is the LWW-deduped batch (with part +
+        tombstone columns); the pre-image for the I/U split is the
+        sink's PRIOR snapshot version, read partition-pruned."""
         if not parts:
             return
+        # distinct: a MoR snapshot can hold multiple versions per key
+        pre = (
+            sink.read(partitions=parts, version=prior_version)
+            .select(*key_cols)
+            .distinct()
+            .withColumn("_existed", F.lit(True))
+        )
         wm = (
-            sink.read(partitions=parts)
-            .groupBy(S.PART_COL)
+            prepared_batch.join(pre, key_cols, "left")
+            .groupBy(F.col(S.PART_COL).alias("part_bucket"))
             .agg(
-                F.max(S.LSN_COL).alias("applied_lsn"),
-                F.count(F.lit(1)).alias("rows_total"),
-                F.sum(F.when(F.col(S.DELETED_COL), 1).otherwise(0)).alias("tombstones"),
+                F.max(lsn_col).alias("applied_lsn_watermark"),
+                F.sum(
+                    F.when(
+                        F.col("_existed").isNull() & ~F.col(S.DELETED_COL), 1
+                    ).otherwise(0)
+                ).alias("rows_inserted"),
+                F.sum(
+                    F.when(
+                        F.col("_existed").isNotNull() & ~F.col(S.DELETED_COL), 1
+                    ).otherwise(0)
+                ).alias("rows_updated"),
+                F.sum(F.when(F.col(S.DELETED_COL), 1).otherwise(0)).alias(
+                    "rows_deleted"
+                ),
             )
             .select(
-                F.lit(epoch).cast("long").alias("epoch"),
-                F.col(S.PART_COL),
-                "applied_lsn",
-                "rows_total",
-                "tombstones",
-                F.lit(float(seconds)).alias("merge_seconds"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "part_bucket",
+                "applied_lsn_watermark",
+                "rows_inserted",
+                "rows_updated",
+                "rows_deleted",
+                F.lit(float(seconds) * 1000.0).alias("merge_ms"),
             )
         )
         self.table.append(wm)
 
-    def read(self):
+    def read(self) -> DataFrame:
         return self.table.read()
+
+    def applied_epochs(self, sink: LakeTable, source_id: str) -> DataFrame:
+        """F3 view: epochs applied to the sink with max applied LSN per
+        epoch (from the lineage rows) + the snapshot guard value."""
+        lin = self.table.read()
+        guard = sink.snapshot().applied.get(source_id, -1)
+        return (
+            lin.groupBy("batch_id")
+            .agg(F.max("applied_lsn_watermark").alias("max_lsn"))
+            .select(
+                F.col("batch_id").alias("commit_epoch"),
+                "max_lsn",
+                F.col("batch_id").alias("applied_at_batch"),
+                F.lit(guard).alias("sink_epoch_guard"),
+            )
+        )

@@ -9,35 +9,40 @@ Semantics (the reference's incremental protocol, re-expressed Spark-first
    a no-op, which makes ``foreachBatch`` exactly-once
    (reference: ``ingested_at`` watermark advanced only post-run,
    sequencing_experiment_update.sql:1-3 + import_part.py:588-622).
-2. **Within-batch LWW dedup** — max-struct aggregation per
-   ``(conv_id, turn_idx)`` on ``lsn`` (reference W1 row_number pattern)
-   with map-side partial combine, so hot conversations reduce before
-   the shuffle.
+2. **LWW dedup** — max-struct aggregation per ``(conv_id, turn_idx)``
+   on ``lsn`` (reference W1 row_number pattern) with map-side partial
+   combine, so hot conversations reduce before the shuffle.
 3. **Partition pruning** — ``part = pmod(xxhash64(conv_id), buckets)``;
-   only partitions present in the batch are read and rewritten
-   (reference: copy-unchanged + insert-delta + atomic partition swap,
-   operator.py:282-355 — here the "copy" is free: untouched partitions
-   keep their manifest entries).
-4. **Cross-batch LWW** — union of existing partition state and the
-   deduped batch, winner = max lsn. Deletes become tombstones
-   (``_deleted = true``) that keep their lsn, so an out-of-order lower
-   lsn update in a later batch cannot resurrect a deleted key
-   (reference ST3/ST7).
+   only partitions present in the batch are touched.
+4. **Deletes** become tombstones (``_deleted = true``) that keep their
+   lsn, so an out-of-order lower-lsn update in a later batch cannot
+   resurrect a deleted key (reference ST3/ST7).
 5. **Additive schema evolution** — new payload columns in the batch are
-   appended to the table schema before the merge; old files read back
-   NULL for them (reference §1.2 migrations).
+   appended to the table schema before the merge (reference §1.2).
 6. **Lineage** — per-partition applied-LSN watermarks, row counts and
-   merge latency appended to a metrics table (reference ST2 / OTel
-   spans, radiant/tasks/tracing/trace.py:1-27).
+   merge latency (reference ST2 / OTel spans).
 
-Scale notes: the only shuffles are (a) the dedup hash aggregation and
-(b) the write repartition by ``part``; both are keyed on the bucketed
-conversation hash so they stay balanced under conversation skew. The
-existing-state scan is file-pruned to touched buckets — at 10^10 rows
-with 4096 buckets a batch touching 1% of conversations reads ~all
-buckets, so bucket count should scale with cluster size, not data size;
-the per-bucket rewrite is the real unit of work and it parallelizes
-across executors.
+Two physical strategies (same logical semantics, verified equal):
+
+- **merge-on-read (default, ``mode="mor"``)** — the batch is LWW-
+  deduped and APPENDED; no existing data is read or rewritten on the
+  write path. Reads apply the LWW max-struct over (possibly) multiple
+  versions per key; ``compact()`` folds partitions back to one row per
+  key. This is the Iceberg MoR design: write amplification O(batch)
+  instead of O(table), the right trade at 10^10 events where most
+  buckets receive a few rows per batch. Compaction is incremental and
+  partition-scoped, so it parallelizes and can run on a schedule.
+- **copy-on-write (``mode="cow"``)** — union batch with the touched
+  buckets, one fused LWW, rewrite those buckets. Reads are then pure
+  scans. Right when batches are large relative to touched partitions
+  or read amplification matters more than write amplification
+  (this is the reference's copy-unchanged + swap,
+  operator.py:282-355, with the copy made free by the manifest).
+
+Scale notes: the only shuffles are the LWW hash aggregation and the
+write repartition by bucket; both are keyed on the hashed conversation
+id so they stay balanced under conversation skew. Bucket count should
+scale with cluster size (64 here; thousands at 1000 executors).
 """
 
 from __future__ import annotations
@@ -47,7 +52,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from radiant_portal_pipeline_spark.cdc import schemas as S
 from radiant_portal_pipeline_spark.cdc.dedup import lww_dedup
@@ -77,12 +81,18 @@ class TranscriptMergeEngine:
         source_id: str = "cdc",
         key_cols: tuple[str, ...] = S.KEY_COLS,
         lsn_col: str = S.LSN_COL,
+        mode: str = "mor",
+        lineage=None,
     ):
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         self.table = table
         self.num_buckets = num_buckets
         self.source_id = source_id
         self.key_cols = list(key_cols)
         self.lsn_col = lsn_col
+        self.mode = mode
+        self.lineage = lineage  # optional LineageWriter (cdc.lineage)
 
     @staticmethod
     def create_table(spark, path: str, num_buckets: int = 32) -> LakeTable:
@@ -92,65 +102,143 @@ class TranscriptMergeEngine:
 
     # ------------------------------------------------------------------
 
+    def _prepare_batch(self, batch: DataFrame) -> DataFrame:
+        """LWW-dedup the batch, fold op -> tombstone flag, add bucket.
+
+        ONE shuffle total: repartition on the bucket first — because
+        ``part`` is a function of ``conv_id``, HashPartitioning(part)
+        satisfies the ClusteredDistribution of the subsequent
+        groupBy(part, conv_id, turn_idx) (subset rule), so the LWW
+        aggregation runs in place and the data leaves this function
+        already laid out for the partitioned write (layout_ready)."""
+        withPart = batch.withColumn(
+            S.PART_COL, part_expr(self.key_cols[0], self.num_buckets)
+        ).repartition(self.num_buckets, F.col(S.PART_COL))
+        deduped = lww_dedup(
+            withPart, [S.PART_COL, *self.key_cols], [self.lsn_col]
+        )
+        return deduped.withColumn(
+            S.DELETED_COL, (F.col("op") == F.lit("D"))
+        ).drop("op", "commit_epoch")
+
     def merge_batch(self, batch: DataFrame, epoch: int) -> MergeStats:
         t0 = time.time()
         snap = self.table.snapshot()
         if snap.applied.get(self.source_id, -1) >= epoch:
             return MergeStats(epoch=epoch, skipped=True)
 
-        # 1. within-batch LWW (skew-safe partial-aggregate dedup)
-        deduped = lww_dedup(batch, self.key_cols, [self.lsn_col]).withColumn(
-            S.PART_COL, part_expr(self.key_cols[0], self.num_buckets)
-        )
-        deduped = deduped.withColumn(
-            S.DELETED_COL, (F.col("op") == F.lit("D"))
-        ).drop("op", "commit_epoch")
-        deduped = deduped.localCheckpoint(eager=True)  # cut lineage; batch is small vs table
+        prepared = self._prepare_batch(batch)
+        if self.lineage is not None:
+            prepared = prepared.localCheckpoint(eager=True)
 
-        parts = [r[0] for r in deduped.select(S.PART_COL).distinct().collect()]
+        if self.mode == "mor":
+            # append-only write path: no existing data read or rewritten
+            result = self.table.append(
+                prepared, source_id=self.source_id, epoch=epoch, layout_ready=True
+            )
+            parts = [int(p) for p in self.table.last_commit_partitions]
+            stats = MergeStats(
+                epoch=epoch,
+                skipped=result is None,
+                parts_touched=len(parts),
+                parts=parts,
+                seconds=time.time() - t0,
+            )
+            self._record_lineage(stats, prepared, snap.version)
+            return stats
+
+        # ---- copy-on-write: fused union + LWW over touched buckets
+        prepared = prepared.localCheckpoint(eager=True)
+        parts = [r[0] for r in prepared.select(S.PART_COL).distinct().collect()]
         if not parts:
-            # still advance the epoch so replays of empty batches no-op
             self.table.overwrite_partitions(
-                deduped, source_id=self.source_id, epoch=epoch
+                prepared, source_id=self.source_id, epoch=epoch
             )
             return MergeStats(epoch=epoch, skipped=False, seconds=time.time() - t0)
 
-        # 2. read only touched buckets, 3. cross-batch LWW with tombstones
         existing = self.table.read(partitions=parts)
-        src = deduped.withColumn(_SRC_RANK, F.lit(1))
+        src = prepared.withColumn(_SRC_RANK, F.lit(1))
         tgt = existing.withColumn(_SRC_RANK, F.lit(0))
         merged = lww_dedup(
-            src.unionByName(tgt, allowMissingColumns=True),
-            self.key_cols,
+            src.unionByName(tgt, allowMissingColumns=True).repartition(
+                self.num_buckets, F.col(S.PART_COL)
+            ),
+            [S.PART_COL, *self.key_cols],
             [self.lsn_col, _SRC_RANK],
         ).drop(_SRC_RANK)
-
         result = self.table.overwrite_partitions(
             merged,
             source_id=self.source_id,
             epoch=epoch,
             also_replace=parts,
+            layout_ready=True,
         )
-        return MergeStats(
+        stats = MergeStats(
             epoch=epoch,
             skipped=result is None,
             parts_touched=len(parts),
             parts=parts,
             seconds=time.time() - t0,
         )
+        self._record_lineage(stats, prepared, snap.version)
+        return stats
+
+    def _record_lineage(self, stats: MergeStats, prepared, prior_version: int):
+        if self.lineage is None or stats.skipped or not stats.parts:
+            return
+        # raw_state semantics need the LWW over tombstones too, so the
+        # pre-image for the insert/update split is the PRIOR snapshot
+        # folded per key (partition-pruned to the touched buckets).
+        self.lineage.record(
+            batch_id=stats.epoch,
+            sink=self.table,
+            prepared_batch=prepared,
+            parts=stats.parts,
+            seconds=stats.seconds,
+            prior_version=prior_version,
+            key_cols=self.key_cols,
+            lsn_col=self.lsn_col,
+        )
 
     # ------------------------------------------------------------------
 
+    def compact(self, partitions: list | None = None) -> None:
+        """Fold MoR deltas: rewrite partitions to one row per key
+        (keeping tombstones — they guard against out-of-order stragglers
+        until a retention-aware GC drops them). Partition-scoped, so an
+        external scheduler can compact hot buckets incrementally."""
+        parts = partitions if partitions is not None else self.table.partitions()
+        if not parts:
+            return
+        folded = lww_dedup(
+            self.table.read(partitions=parts).repartition(
+                self.num_buckets, F.col(S.PART_COL)
+            ),
+            [S.PART_COL, *self.key_cols],
+            [self.lsn_col],
+        )
+        self.table.overwrite_partitions(folded, also_replace=parts, layout_ready=True)
+
     def current_state(self, include_meta: bool = False) -> DataFrame:
-        df = self.table.read().filter(~F.col(S.DELETED_COL))
+        df = self.table.read()
+        if self.mode == "mor":
+            df = lww_dedup(df, self.key_cols, [self.lsn_col])
+        df = df.filter(~F.col(S.DELETED_COL))
         if include_meta:
             return df
         return df.drop(S.DELETED_COL, S.PART_COL)
 
+    def raw_state(self) -> DataFrame:
+        """Post-LWW rows INCLUDING tombstones (lineage/debug view)."""
+        df = self.table.read()
+        if self.mode == "mor":
+            df = lww_dedup(df, self.key_cols, [self.lsn_col])
+        return df
+
     def applied_lsn_watermarks(self) -> DataFrame:
         """Per-partition applied-LSN watermark (lineage view)."""
         return (
-            self.table.read()
+            self.raw_state()
             .groupBy(S.PART_COL)
             .agg(
                 F.max(self.lsn_col).alias("applied_lsn"),

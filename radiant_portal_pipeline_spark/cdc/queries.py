@@ -155,7 +155,7 @@ def cdc_tombstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = TranscriptMergeEngine(tbl, num_buckets=16)
     engine.merge_batch(feed, epoch=0)
     return (
-        engine.table.read()  # full table INCLUDING tombstone rows
+        engine.raw_state()  # post-LWW rows INCLUDING tombstones
         .groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),

@@ -65,12 +65,12 @@ def run_cdc_stream(
     feed = reader.parquet(feed_dir)
 
     result = StreamResult()
+    if lineage is not None:
+        engine.lineage = lineage
 
     def apply_batch(batch_df, batch_id: int) -> None:
         stats = engine.merge_batch(batch_df, epoch=batch_id)
         result.batches.append(stats)
-        if lineage is not None and not stats.skipped and stats.parts:
-            lineage.record(batch_id, engine.table, stats.parts, stats.seconds)
 
     query = (
         feed.writeStream.foreachBatch(apply_batch)

@@ -103,6 +103,8 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # partitions touched by this instance's most recent data commit
+        self.last_commit_partitions: list[str] = []
 
     # ---------------------------------------------------------------- DDL
 
@@ -194,13 +196,22 @@ class LakeTable:
 
     # ------------------------------------------------------------ writes
 
-    def _write_data_files(self, df: DataFrame) -> dict[str, list[str]]:
+    def _write_data_files(
+        self, df: DataFrame, layout_ready: bool = False
+    ) -> dict[str, list[str]]:
         """Write a commit's data files and return {partition -> rel paths}.
 
         Executors write in parallel via ``partitionBy`` on a duplicated
         layout column; the partition column itself stays as a regular
         data column inside every file (so explicit-schema scans work on
         arbitrary file lists, and parquet min/max stats still prune).
+
+        Repartition on the layout column first: without it every task
+        holds rows of every partition value and partitionBy fans out
+        tasks x values tiny files. Callers whose plan is ALREADY
+        hash-partitioned on the partition column (e.g. the merge
+        engine, which repartitions before its LWW aggregation) pass
+        ``layout_ready=True`` to skip the extra exchange.
         """
         commit_dir = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self.path, _DATA_DIR, commit_dir)
@@ -208,12 +219,10 @@ class LakeTable:
         pcol = snap.partition_col
         from pyspark.sql import functions as F
 
-        (
-            df.withColumn(_PB_COL, F.col(pcol).cast("string"))
-            .write.partitionBy(_PB_COL)
-            .mode("overwrite")
-            .parquet(out)
-        )
+        laid = df.withColumn(_PB_COL, F.col(pcol).cast("string"))
+        if not layout_ready:
+            laid = laid.repartition(F.col(_PB_COL))
+        laid.write.partitionBy(_PB_COL).mode("overwrite").parquet(out)
         files: dict[str, list[str]] = {}
         if not os.path.isdir(out):
             return files
@@ -277,33 +286,48 @@ class LakeTable:
             f"lost commit race {MAX_COMMIT_RETRIES} times at {self.path}"
         )
 
+    _COERCIBLE = {
+        # value-preserving casts (session TZ pinned UTC makes NTZ<->LTZ safe)
+        (T.TimestampNTZType(), T.TimestampType()),
+        (T.TimestampType(), T.TimestampNTZType()),
+        (T.IntegerType(), T.LongType()),
+        (T.FloatType(), T.DoubleType()),
+    }
+
     def _evolved_schema(self, snap: Snapshot, df: DataFrame) -> T.StructType:
         """Additive-only schema evolution: unknown incoming columns are
-        appended; type changes and drops are rejected (SURVEY.md §1.2)."""
+        appended; existing columns keep the TABLE's type (incoming data
+        is cast when the pair is safely coercible); other type changes
+        and drops are rejected (SURVEY.md §1.2)."""
         current = {f.name: f for f in snap.schema.fields}
         out = list(snap.schema.fields)
         for f in df.schema.fields:
             if f.name == _PB_COL:
                 continue
             if f.name in current:
-                if current[f.name].dataType != f.dataType:
+                have = current[f.name].dataType
+                if have != f.dataType and (f.dataType, have) not in self._COERCIBLE:
                     raise ValueError(
-                        f"type change for {f.name}: "
-                        f"{current[f.name].dataType} -> {f.dataType}"
+                        f"type change for {f.name}: {have} -> {f.dataType}"
                     )
             else:
                 out.append(T.StructField(f.name, f.dataType, nullable=True))
         return T.StructType(out)
 
     def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
-        """Project df onto the table schema (missing columns -> NULL)."""
+        """Project df onto the table schema (missing columns -> NULL;
+        coercible existing columns cast to the table's type)."""
         from pyspark.sql import functions as F
 
-        have = set(df.columns)
-        cols = [
-            F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in schema.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif have[f.name] != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
         return df.select(*cols)
 
     def append(
@@ -311,12 +335,15 @@ class LakeTable:
         df: DataFrame,
         source_id: str | None = None,
         epoch: int | None = None,
+        layout_ready: bool = False,
     ) -> Snapshot | None:
         """Add files; existing partitions keep their files (fast path for
         immutable feeds). Schema evolves additively first."""
         snap0 = self.snapshot()
         schema = self._evolved_schema(snap0, df)
-        new_files = self._write_data_files(self._conform(df, schema))
+        new_files = self._write_data_files(
+            self._conform(df, schema), layout_ready=layout_ready
+        )
 
         def mutate(snap: Snapshot):
             files = {k: list(v) for k, v in snap.files.items()}
@@ -324,7 +351,9 @@ class LakeTable:
                 files.setdefault(pv, []).extend(fs)
             return files, self._evolved_schema(snap, df)
 
-        return self._commit(mutate, source_id=source_id, epoch=epoch)
+        out = self._commit(mutate, source_id=source_id, epoch=epoch)
+        self.last_commit_partitions = sorted(new_files.keys())
+        return out
 
     def overwrite_partitions(
         self,
@@ -332,6 +361,7 @@ class LakeTable:
         source_id: str | None = None,
         epoch: int | None = None,
         also_replace: list[Any] | None = None,
+        layout_ready: bool = False,
     ) -> Snapshot | None:
         """Atomically replace exactly the partitions present in ``df``
         (plus ``also_replace`` values, which become empty if df has no
@@ -339,7 +369,9 @@ class LakeTable:
         reference's copy+swap without the copy."""
         snap0 = self.snapshot()
         schema = self._evolved_schema(snap0, df)
-        new_files = self._write_data_files(self._conform(df, schema))
+        new_files = self._write_data_files(
+            self._conform(df, schema), layout_ready=layout_ready
+        )
         replaced = set(new_files.keys()) | {str(p) for p in (also_replace or [])}
 
         def mutate(snap: Snapshot):
@@ -350,7 +382,9 @@ class LakeTable:
                 files[pv] = list(fs)
             return files, self._evolved_schema(snap, df)
 
-        return self._commit(mutate, source_id=source_id, epoch=epoch)
+        out = self._commit(mutate, source_id=source_id, epoch=epoch)
+        self.last_commit_partitions = sorted(replaced)
+        return out
 
     # ------------------------------------------------------- maintenance
 

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+Portability trick for the DuckDB oracle: embeddings are quantized to
+BIGINT (round(x * 1e6)) BEFORE any arithmetic, so dot products and
+squared norms are EXACT integers — identical in every engine regardless
+of float summation order. The final cosine is a double computed from
+those exact integers, rounded — engine-identical.
+
+Scale design:
+- brute-force top-k: one scan, per-row HOF dot product (JVM codegen,
+  no shuffle until the global top-k), fine up to ~10^7 vectors/probe;
+- IVF-style bucketed search: assign every vector to its nearest of C
+  deterministic centroids (one broadcast of C vectors), search only the
+  probe's bucket(s) — the candidate scan shrinks by ~C×. Centroid
+  assignment is itself a per-row HOF argmin — no shuffle; the bucket
+  column becomes the partition/prune key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def quantized(col) -> F.Column:
+    """array<float> -> array<bigint>: round(x * 1e6) elementwise."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+
+
+def dot_q(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2_q(a) -> F.Column:
+    return dot_q(a, a)
+
+
+def cosine_q(a, b) -> F.Column:
+    """Cosine from quantized vectors: exact integer dot / float norms."""
+    return F.round(
+        dot_q(a, b)
+        / (F.sqrt(norm2_q(a).cast("double")) * F.sqrt(norm2_q(b).cast("double"))),
+        4,
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine vs one query vector. Deterministic ordering:
+    (rounded cosine desc, id asc)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = vectors.select(
+        F.col(id_col),
+        cosine_q(quantized(F.col(vec_col)), quantized(q)).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def assign_ivf_buckets(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF bucket assignment: argmax cosine over a broadcast list of
+    centroids, computed per-row (no shuffle). ``centroids`` is
+    [(centroid_id, vector), ...]."""
+    # struct comparison is field-order lexicographic → (sim, -cid) so
+    # array_max picks highest sim, lowest centroid id on ties
+    qcols = [
+        F.struct(
+            cosine_q(
+                quantized(F.col(vec_col)),
+                quantized(F.array(*[F.lit(float(v)) for v in vec])),
+            ).alias("sim"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, vec in centroids
+    ]
+    best = F.array_max(F.array(*qcols))
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["neg_cid"]).cast("int").alias("bucket"),
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids vs the query driver-side (C is tiny),
+    scan only the top ``n_probes`` buckets, brute-force within."""
+    import math
+
+    def cos(a, b):
+        qa = [round(x * SCALE) for x in a]
+        qb = [round(x * SCALE) for x in b]
+        d = sum(x * y for x, y in zip(qa, qb))
+        return d / (
+            math.sqrt(sum(x * x for x in qa)) * math.sqrt(sum(y * y for y in qb))
+        )
+
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1], query_vec), c[0]))
+    probe_ids = [cid for cid, _ in ranked[:n_probes]]
+    assigned = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("bucket").isin(probe_ids))
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

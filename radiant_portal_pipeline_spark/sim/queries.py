@@ -1,0 +1,125 @@
+"""Registered similarity-search queries over the ``embeddings`` table.
+
+The DuckDB oracle reproduces the integer-quantized cosine exactly (see
+sim/ann.py): BIGINT dot products are associative, so engine summation
+order cannot diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.operators.registry import load_table, query
+from radiant_portal_pipeline_spark.sim import ann
+
+# DuckDB: quantize, exact integer dot / norms, rounded cosine
+_Q = "LIST_TRANSFORM({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> {a}[i::INT] * {b}[i::INT]))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    qa, qb = _Q.format(v=a), _Q.format(v=b)
+    return (
+        f"ROUND({_DOT.format(a=qa, b=qb)} / "
+        f"(SQRT(CAST({_DOT.format(a=qa, b=qa)} AS DOUBLE)) * "
+        f"SQRT(CAST({_DOT.format(a=qb, b=qb)} AS DOUBLE))), 4)"
+    )
+
+
+@query(
+    "s_cosine_vs_query",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           {_duck_cosine('e.embedding', 'q.qv')} AS cosine
+    FROM embeddings e CROSS JOIN q
+    """,
+)
+def s_cosine_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine scores vs one probe vector (vec_id=0),
+    integer-quantized for engine-exact results. Per-row HOF fold —
+    single scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    return emb.select(
+        "vec_id",
+        "label",
+        ann.cosine_q(ann.quantized(F.col("embedding")), ann.quantized(q)).alias(
+            "cosine"
+        ),
+    )
+
+
+@query(
+    "s_ann_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_duck_cosine('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e CROSS JOIN q)
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 by cosine — deterministic order (rounded
+    cosine desc, vec_id asc) so the result set is engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann.brute_force_topk(emb, list(qvec), k=10)
+
+
+@query("s_ann_ivf_topk")  # rows-only: recall vs brute force asserted in tests
+def s_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: 8 deterministic centroids (the embeddings of
+    vec_id 1..8), 2 probes, brute force within probed buckets — the
+    scale path (bucket = partition-prune key at 100 TB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").between(1, 8)).collect()
+    ]
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    return ann.ivf_topk(emb, cents, qvec, k=10, n_probes=2)
+
+
+@query(
+    "s_label_centroid_sim",
+    oracle=f"""
+    WITH qe AS (
+      SELECT label, {_Q.format(v='embedding')} AS qv FROM embeddings)
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(LIST_SUM(qv)) AS BIGINT) AS sum_all_dims
+    FROM qe GROUP BY label
+    """,
+)
+def s_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation (the vector-aggregation shape a
+    clustering/ANN-build pass needs): elementwise integer sum of
+    quantized vectors per label — exact, shuffle only on label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    qv = ann.quantized(F.col("embedding"))
+    summed = (
+        emb.select("label", qv.alias("qv"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.aggregate(
+                F.collect_list("qv"),
+                zero,
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("sumvec"),
+        )
+    )
+    return summed.select(
+        "label",
+        "n",
+        F.aggregate(
+            F.col("sumvec"), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("sum_all_dims"),
+    )

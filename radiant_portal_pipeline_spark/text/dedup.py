@@ -1,0 +1,231 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the training-data-pipeline counterparts of the reference's
+hash-identity dedup (locus_hash anti-join, SURVEY.md §1.4/J1), scaled
+to fuzzy text identity.
+
+Scale shapes:
+- exact: one hash groupBy — single shuffle on the digest.
+- n-gram Jaccard: candidate pairs ONLY via a shared-shingle equi-join
+  (never a cartesian); the shingle join key is the shuffle key, hot
+  shingles are bounded by `max_shingle_freq` (drop stop-shingles — the
+  classic posting-list cut).
+- MinHash+LSH: signatures via ONE aggregation (32 min-hashes computed
+  as conditional mins in a single groupBy pass); banding turns the
+  quadratic candidate problem into an equi-join on (band_id, band_hash).
+- SimHash: per-row higher-order-function fold — zero shuffles to get
+  signatures; near-dup pairs via 16-bit band pigeonhole join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.text.analysis import ws_tokens
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles per document."""
+    toks = ws_tokens(F.col(text_col))
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shared-shingle candidates.
+    Candidates have ≥1 common shingle, so recall at any threshold > 0 is
+    exact — this is the oracle-matchable dedup path. Integer counts →
+    double division is engine-identical."""
+    sh = word_shingles(docs, k=k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash/LSH
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sig: array<bigint>[N_HASHES]) in ONE aggregation pass:
+    seed-i permutation = xxhash64(shingle, seed_i); min per seed."""
+    sh = word_shingles(docs, k=k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and equi-join on (band_id, band_hash)."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda bi: F.struct(
+            bi.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("sig"), (bi * rows_per_band + r + 1).cast("int")).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        ),
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = 0.4, k: int = 3
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard on the candidate set
+    only (candidate pruning is the scale path; the verify join keeps
+    precision exact)."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs, k=k))
+    sh = word_shingles(docs, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: bigint) — per-row fold over token hashes using
+    higher-order functions: NO explode, NO shuffle. Each token's
+    xxhash64 votes +1/-1 per bit; sign of the vote vector is the hash."""
+    # SQL expr: the python shiftright/shiftleft wrappers require literal
+    # shift amounts; the SQL functions accept expressions.
+    toks_sql = (
+        f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    )
+    votes_sql = f"""
+      aggregate(
+        {toks_sql},
+        array_repeat(0L, 64),
+        (acc, t) -> zip_with(
+          acc,
+          transform(sequence(0, 63),
+            i -> IF((shiftright(xxhash64(t), i) & 1L) = 1L, 1L, -1L)),
+          (a, b) -> a + b))
+    """
+    sim_sql = f"""
+      aggregate(
+        zip_with({votes_sql}, sequence(0, 63),
+                 (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+        0L, (acc, x) -> acc | x)
+    """
+    return docs.select("doc_id", F.expr(sim_sql).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by simhash: pigeonhole on 4 x 16-bit bands (any
+    pair within hamming<=3 per band shares at least one exact band when
+    distance <= 3; with 4 bands, distance <= 3 guaranteed, larger
+    distances probabilistic) then exact popcount filter."""
+    sh = simhash64(docs)
+    bands = F.expr(
+        "transform(sequence(0, 3), i -> struct("
+        "i AS band_id, shiftright(simhash, i * 16) & 65535L AS band_val))"
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_id", "b.band_val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,187 @@
+"""Registered text-pipeline queries over the ``documents`` table.
+
+Oracles share EXACT arithmetic with the Spark side: tokenization is the
+same regex split in both engines, ratios divide integers (identical
+doubles), and fuzzy-dedup similarity is computed from integer
+shingle-set counts. MinHash/SimHash use xxhash64 (no DuckDB equivalent)
+→ registered rows-only; their recall is validated in pytest against the
+exact-Jaccard oracle-checked path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.operators.registry import load_table, query
+from radiant_portal_pipeline_spark.text import analysis as A
+from radiant_portal_pipeline_spark.text import dedup as D
+
+_WS = "'\\s+'"  # duckdb regex literal for whitespace
+
+_TOKS = "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "t_exact_dedup",
+    oracle="""
+    SELECT MD5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash
+    (reference J1 hash-identity dedup applied to documents). One
+    shuffle on the digest; at 100 TB this is the cheapest dedup pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "t_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over normalized text — the locus_hash
+    pattern (common.py:38-56) for documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", A.normalized_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "t_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           LEN({_TOKS}) AS n_tokens,
+           LEN(LIST_DISTINCT({_TOKS})) AS n_distinct_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / single symbols)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = A.ws_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        A.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, LENGTH(text) AS n_chars,
+             LEN({_TOKS}) AS n_tokens,
+             LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS n_punct,
+             LEN(LIST_FILTER({_TOKS},
+                 t -> LIST_CONTAINS(['the','and','of','to','is','in','a'], t))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(n_punct * 1.0 / GREATEST(n_chars, 1), 4) AS punct_ratio,
+           ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios — all
+    integer-count ratios so the doubles are engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = A.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "t_langid",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+        LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS(['the','and','of','to','is','in','a'], t))) AS h_en,
+        LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS(['le','la','et','les','des','un','une'], t))) AS h_fr,
+        LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS(['el','los','de','y','en','que','una'], t))) AS h_es,
+        LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS(['der','die','und','das','ist','ein','nicht'], t))) AS h_de
+      FROM documents)
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN GREATEST(h_en,h_fr,h_es,h_de) = 0 THEN 'und'
+                WHEN h_en = GREATEST(h_en,h_fr,h_es,h_de) THEN 'en'
+                WHEN h_fr = GREATEST(h_en,h_fr,h_es,h_de) THEN 'fr'
+                WHEN h_es = GREATEST(h_en,h_fr,h_es,h_de) THEN 'es'
+                ELSE 'de' END AS lang_pred
+    FROM h
+    """,
+)
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit scoring per language, fixed
+    tie order — the n-gram-heuristic langid shape, fully columnar."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        A.langid_pred(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "t_ngram_jaccard_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        RANGE(1, GREATEST(LEN(w) - 1, 1)),
+        i -> w[i::INT] || ' ' || w[i::INT + 1] || ' ' || w[i::INT + 2]))) AS shingle
+      FROM d),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (x.n_sh + y.n_sh - shared), 4) AS jaccard
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE ROUND(shared * 1.0 / (x.n_sh + y.n_sh - shared), 4) >= 0.4
+    """,
+)
+def t_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-shingle Jaccard >= 0.4 with
+    shared-shingle candidate generation (no cartesian — the pair join
+    key is the shingle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_jaccard_pairs(d, threshold=0.4, k=3)
+
+
+@query("t_minhash_lsh_dedup")  # rows-only: xxhash64 has no DuckDB twin
+def t_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8x4 bands) candidates verified by exact
+    Jaccard — the scale path for fuzzy dedup (candidates via band
+    equi-join instead of all shared-shingle pairs). Recall vs the exact
+    path is asserted in tests/test_text_dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(d, threshold=0.4, k=3)
+
+
+@query("t_simhash_near_pairs")  # rows-only
+def t_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (hamming <= 6) via 16-bit band
+    pigeonhole join; signatures computed with a per-row HOF fold —
+    zero shuffles until the band join."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, max_hamming=6)

@@ -20,10 +20,10 @@ def _batch(spark, rows):
     return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
 
 
-@pytest.fixture()
-def engine(spark, tmp_path):
+@pytest.fixture(params=["mor", "cow"])
+def engine(spark, tmp_path, request):
     tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "transcripts"))
-    return TranscriptMergeEngine(tbl, num_buckets=8)
+    return TranscriptMergeEngine(tbl, num_buckets=8, mode=request.param)
 
 
 def state(engine):
@@ -105,7 +105,8 @@ def test_schema_evolution_mid_stream(engine, spark):
 
 def test_replay_from_scratch_equals_incremental(engine, spark, tmp_path, sf_smoke):
     """Byte-identical final state: applying the feed in epoch batches
-    equals applying it in one batch (per BASELINE.json north_rule)."""
+    equals applying it in one batch (per BASELINE.json north_rule), in
+    BOTH physical modes, and compaction must not change the state."""
     feed = feed_from_events(spark, sf_smoke).cache()
     epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
     for e in epochs:
@@ -119,6 +120,28 @@ def test_replay_from_scratch_equals_incremental(engine, spark, tmp_path, sf_smok
     a = sorted(map(tuple, engine.current_state().select(cols).collect()))
     b = sorted(map(tuple, eng2.current_state().select(cols).collect()))
     assert a == b and len(a) > 0
+
+    engine.compact()
+    c = sorted(map(tuple, engine.current_state().select(cols).collect()))
+    assert c == a
+
+
+def test_mor_cow_equivalence_with_interleaved_deletes(spark, tmp_path):
+    rows = [
+        _ev("c1", 0, "I", 1, "a"),
+        _ev("c1", 0, "D", 4, "x"),
+        _ev("c1", 0, "U", 3, "late"),
+        _ev("c2", 1, "U", 2, "keep"),
+    ]
+    finals = {}
+    for mode in ("mor", "cow"):
+        tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / mode))
+        eng = TranscriptMergeEngine(tbl, num_buckets=4, mode=mode)
+        for i, r in enumerate(rows):  # one event per batch, worst case
+            eng.merge_batch(_batch(spark, [r]), epoch=i)
+        finals[mode] = sorted(map(tuple, eng.current_state().collect()))
+    assert finals["mor"] == finals["cow"]
+    assert len(finals["mor"]) == 1  # only c2 survives
 
 
 def test_lineage_watermarks(engine, spark):

@@ -59,15 +59,23 @@ def test_stream_end_to_end_with_resume(spark, tmp_path, sf_smoke):
     r3 = run_cdc_stream(spark, feed_dir, engine2, ckpt, max_files_per_trigger=1)
     assert [b for b in r3.batches if not b.skipped] == []
 
-    # lineage has rows for every applied batch, watermarks monotone per part
+    # lineage has rows for every applied batch; the cumulative per-bucket
+    # max of the per-batch watermarks equals the sink's watermark view;
+    # I/U/D counts are populated
     lin = lineage.read()
     assert lin.count() > 0
-    per_part = (
-        lin.groupBy("part", "epoch").agg(F.max("applied_lsn").alias("wm"))
-        .orderBy("part", "epoch")
+    cum = {
+        r["part_bucket"]: r["wm"]
+        for r in lin.groupBy("part_bucket")
+        .agg(F.max("applied_lsn_watermark").alias("wm"))
         .collect()
-    )
-    seen = {}
-    for r in per_part:
-        assert seen.get(r["part"], -1) <= r["wm"]
-        seen[r["part"]] = r["wm"]
+    }
+    sink_wm = {
+        r["part"]: r["applied_lsn"]
+        for r in engine2.applied_lsn_watermarks().collect()
+    }
+    assert cum == sink_wm
+    totals = lin.agg(
+        F.sum(F.col("rows_inserted") + F.col("rows_updated") + F.col("rows_deleted"))
+    ).head()[0]
+    assert totals > 0
