@@ -1,0 +1,163 @@
+"""spark-submit entrypoint for the transcript CDC engine.
+
+Usage (cluster):
+    zip -r pkg.zip radiant_portal_pipeline_spark/
+    spark-submit --py-files pkg.zip main.py <command> [options]
+
+Commands:
+    datagen  --events N --out DIR [--convs N] [--dup-frac F]
+             [--ooo-window W] — write a deterministic change feed
+    replay   --feed DIR --table DIR [--mode mor|cow] [--buckets N]
+             [--lineage DIR] — batch-apply the feed epoch by epoch
+    stream   --feed DIR --table DIR --checkpoint DIR [...] — tail the
+             feed via Structured Streaming (availableNow drain;
+             rerunning resumes from the checkpoint)
+    compact  --table DIR [--buckets N] — fold MoR deltas
+    state    --table DIR [--limit N] — show current (post-LWW) state
+    stats    --table DIR --stats DIR — refresh + show derived
+             per-conversation aggregates
+
+In local mode the session master comes from SPARK_GRAFT_CPUS; under
+spark-submit the cluster master wins (getOrCreate keeps the submitted
+conf, and --master is never overridden here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    from radiant_portal_pipeline_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # spark-submit already created one
+        return active
+    if os.environ.get("SPARK_SUBMIT_MODE"):
+        return SparkSession.builder.getOrCreate()
+    return get_spark(app_name=f"cdc_{args.cmd}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="transcripts-cdc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("datagen")
+    p.add_argument("--events", type=int, required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--convs", type=int, default=97)
+    p.add_argument("--dup-frac", type=float, default=0.0)
+    p.add_argument("--ooo-window", type=int, default=0)
+
+    for name in ("replay", "stream"):
+        p = sub.add_parser(name)
+        p.add_argument("--feed", required=True)
+        p.add_argument("--table", required=True)
+        p.add_argument("--mode", default="mor", choices=["mor", "cow"])
+        p.add_argument("--buckets", type=int, default=64)
+        p.add_argument("--lineage")
+        if name == "stream":
+            p.add_argument("--checkpoint", required=True)
+            p.add_argument("--max-files-per-trigger", type=int)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--table", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+
+    p = sub.add_parser("state")
+    p.add_argument("--table", required=True)
+    p.add_argument("--limit", type=int, default=20)
+
+    p = sub.add_parser("stats")
+    p.add_argument("--table", required=True)
+    p.add_argument("--stats", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+
+    args = ap.parse_args()
+    spark = _spark(args)
+
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+    from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+    from radiant_portal_pipeline_spark.lake import LakeTable
+
+    def engine_for(table_path: str, mode: str = "mor", buckets: int = 64, lineage=None):
+        if LakeTable.exists(table_path):
+            tbl = LakeTable(spark, table_path)
+        else:
+            tbl = TranscriptMergeEngine.create_table(spark, table_path)
+        return TranscriptMergeEngine(
+            tbl, num_buckets=buckets, mode=mode, lineage=lineage
+        )
+
+    if args.cmd == "datagen":
+        feed = synthetic_feed(
+            spark,
+            args.events,
+            n_convs=args.convs,
+            dup_frac=args.dup_frac,
+            ooo_window=args.ooo_window,
+        )
+        feed.repartition("commit_epoch").write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.events} events to {args.out}")
+
+    elif args.cmd == "replay":
+        lineage = LineageWriter(spark, args.lineage) if args.lineage else None
+        eng = engine_for(args.table, args.mode, args.buckets, lineage)
+        feed = spark.read.parquet(args.feed)
+        epochs = sorted(
+            r[0] for r in feed.select("commit_epoch").distinct().collect()
+        )
+        for e in epochs:
+            st = eng.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
+            print(
+                f"epoch {e}: skipped={st.skipped} parts={st.parts_touched} "
+                f"{st.seconds:.2f}s"
+            )
+
+    elif args.cmd == "stream":
+        from radiant_portal_pipeline_spark.cdc.stream import run_cdc_stream
+
+        lineage = LineageWriter(spark, args.lineage) if args.lineage else None
+        eng = engine_for(args.table, args.mode, args.buckets)
+        res = run_cdc_stream(
+            spark,
+            args.feed,
+            eng,
+            args.checkpoint,
+            lineage=lineage,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        applied = [b.epoch for b in res.batches if not b.skipped]
+        print(f"stream drained; applied batches: {applied}")
+
+    elif args.cmd == "compact":
+        eng = engine_for(args.table, buckets=args.buckets)
+        eng.compact()
+        print("compacted", args.table)
+
+    elif args.cmd == "state":
+        eng = engine_for(args.table)
+        df = eng.current_state().orderBy("conv_id", "turn_idx")
+        print(f"rows: {df.count()}")
+        df.show(args.limit, truncate=40)
+
+    elif args.cmd == "stats":
+        from radiant_portal_pipeline_spark.cdc.analytics import ConversationStats
+
+        eng = engine_for(args.table, buckets=args.buckets)
+        stats = ConversationStats(spark, args.stats, eng)
+        stats.refresh()
+        stats.global_rollup().show()
+
+
+if __name__ == "__main__":
+    main()

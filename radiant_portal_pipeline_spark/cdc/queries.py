@@ -107,6 +107,45 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_incremental_conv_stats",
+    oracle=f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM feed),
+    live AS (SELECT * FROM r WHERE rn = 1 AND op <> 'D')
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+           SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls,
+           SUM(LENGTH(text)) AS total_chars,
+           MAX(lsn) AS max_lsn,
+           MAX(ts) AS last_ts
+    FROM live GROUP BY conv_id
+    """,
+)
+def cdc_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/X6: incrementally-maintained derived aggregate — after each
+    merge batch, per-conversation stats are recomputed ONLY for the
+    buckets that batch touched (reference: per-part staging freq
+    recompute, germline_snv_staging_variant_freq_insert.sql). The
+    oracle recomputes from scratch — equality proves the incremental
+    maintenance converges."""
+    from radiant_portal_pipeline_spark.cdc.analytics import ConversationStats
+
+    work = tempfile.mkdtemp(prefix="cdc_a_")
+    feed = feed_from_events(spark, sf_dir)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
+    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    stats = ConversationStats(spark, f"{work}/stats", engine)
+    epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
+    for e in epochs:
+        st = engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
+        stats.refresh(st.parts)  # touched buckets only
+    return stats.read().drop("part")
+
+
+@query(
     "cdc_delta_vs_state",
     oracle=f"""
     WITH feed AS ({feed_sql('duckdb')}),

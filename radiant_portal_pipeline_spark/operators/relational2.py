@@ -175,6 +175,125 @@ def q27_latest_task_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q29_best_overlap_rank",
+    oracle="""
+    WITH iv AS (SELECT event_id, user_id, value AS lo, value + 50 AS hi FROM events),
+    pairs AS (
+      SELECT a.event_id AS a_event, b.event_id AS b_event, a.user_id,
+             GREATEST(0, LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS ov
+      FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.event_id <> b.event_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY a_event ORDER BY ov DESC, b_event ASC) AS rn
+      FROM pairs WHERE ov > 0)
+    SELECT a_event, b_event, ROUND(ov, 2) AS best_overlap
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q29_best_overlap_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: best-overlap ranking — row_number over overlap DESC, joined
+    rn=1 (germline_cnv_occurrence_insert_partition_delta.sql:44-52,89).
+    Tie-broken on the partner id for engine determinism."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").alias("lo"),
+        (F.col("value") + 50).alias("hi"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    ov = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("a.hi"), F.col("b.hi")) - F.greatest(F.col("a.lo"), F.col("b.lo")),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.event_id").alias("a_event"),
+            F.col("b.event_id").alias("b_event"),
+            ov.alias("ov"),
+        )
+        .filter(F.col("ov") > 0)
+    )
+    w = Window.partitionBy("a_event").orderBy(F.col("ov").desc(), F.col("b_event").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a_event", "b_event", F.round("ov", 2).alias("best_overlap"))
+    )
+
+
+@query(
+    "q30_explode_unnest",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents)
+    GROUP BY token HAVING COUNT(*) > 5
+    """,
+)
+def q30_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UNNEST lateral explode (snv_consequence_filter_insert.sql:77-79)
+    — the real explode + reaggregation (token document frequencies)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    return (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n") > 5)
+    )
+
+
+@query(
+    "q31_lookup_table_map",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'STAT' WHEN '2-HIGH' THEN 'ASAP'
+             WHEN '3-MEDIUM' THEN 'URGENT' WHEN '4-NOT SPECIFIED' THEN 'ROUTINE'
+             ELSE 'ROUTINE' END AS priority_class,
+           CASE WHEN o_orderstatus = 'O' AND o_totalprice > 200000 THEN 'open_large'
+                WHEN o_orderstatus = 'O' THEN 'open_small'
+                WHEN o_orderstatus = 'F' THEN 'finished'
+                ELSE 'partial' END AS status_class
+    FROM orders
+    """,
+)
+def q31_lookup_table_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 pure-function lookup tables (the reference's ~400 LoC
+    parental-origin/transmission dict lookups,
+    germline/occurrence.py:247-667) as columnar map-literal + when-chain
+    expressions — no Python in the row path."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_map = F.create_map(
+        F.lit("1-URGENT"), F.lit("STAT"),
+        F.lit("2-HIGH"), F.lit("ASAP"),
+        F.lit("3-MEDIUM"), F.lit("URGENT"),
+        F.lit("4-NOT SPECIFIED"), F.lit("ROUTINE"),
+        F.lit("5-LOW"), F.lit("ROUTINE"),
+    )
+    status = (
+        F.when((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000),
+               "open_large")
+        .when(F.col("o_orderstatus") == "O", "open_small")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(prio_map[F.col("o_orderpriority")], F.lit("ROUTINE")).alias(
+            "priority_class"
+        ),
+        status.alias("status_class"),
+    )
+
+
+@query(
     "q28_broker_load_tsv",
     oracle="""
     SELECT event_id, user_id,
