@@ -202,10 +202,18 @@ class TranscriptMergeEngine:
 
     # ------------------------------------------------------------------
 
-    def compact(self, partitions: list | None = None) -> None:
-        """Fold MoR deltas: rewrite partitions to one row per key
-        (keeping tombstones — they guard against out-of-order stragglers
-        until a retention-aware GC drops them). Partition-scoped, so an
+    def compact(
+        self,
+        partitions: list | None = None,
+        purge_tombstones_below: int | None = None,
+    ) -> None:
+        """Fold MoR deltas: rewrite partitions to one row per key.
+        Tombstones are KEPT by default — they guard against out-of-order
+        stragglers. Once the source guarantees no event below some LSN
+        can still arrive (the applied-LSN low-watermark), pass it as
+        ``purge_tombstones_below`` to GC them (reference analog: the
+        final DELETE of flagged-deleted tasks,
+        sequencing_experiment_delete.sql:1-2). Partition-scoped, so an
         external scheduler can compact hot buckets incrementally."""
         parts = partitions if partitions is not None else self.table.partitions()
         if not parts:
@@ -217,6 +225,13 @@ class TranscriptMergeEngine:
             [S.PART_COL, *self.key_cols],
             [self.lsn_col],
         )
+        if purge_tombstones_below is not None:
+            folded = folded.filter(
+                ~(
+                    F.col(S.DELETED_COL)
+                    & (F.col(self.lsn_col) < purge_tombstones_below)
+                )
+            )
         self.table.overwrite_partitions(folded, also_replace=parts, layout_ready=True)
 
     def current_state(self, include_meta: bool = False) -> DataFrame:

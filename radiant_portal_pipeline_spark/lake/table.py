@@ -403,12 +403,39 @@ class LakeTable:
         assert snap is not None
         return snap
 
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop old version files (Iceberg's expire_snapshots): time
+        travel is bounded to the newest ``keep_last`` versions; follow
+        with ``vacuum()`` to reclaim the data files only those versions
+        referenced. The latest version is never dropped."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        log = os.path.join(self.path, _LOG_DIR)
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        removed = 0
+        for v in versions[:-keep_last]:
+            os.remove(_version_path(self.path, v))
+            removed += 1
+        return removed
+
     def vacuum(self) -> int:
-        """Delete data files not referenced by the latest snapshot.
-        Single-writer maintenance op (no retention window yet)."""
+        """Delete data files not referenced by ANY remaining snapshot
+        (run expire_snapshots first to bound the live set). Single-writer
+        maintenance op."""
+        log = os.path.join(self.path, _LOG_DIR)
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json")
+        ]
         live = {
             os.path.normpath(f)
-            for fs in self.snapshot().files.values()
+            for v in versions
+            for fs in self.snapshot(v).files.values()
             for f in fs
         }
         removed = 0

@@ -294,6 +294,31 @@ def q31_lookup_table_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q32_tenant_isolation",
+    oracle="""
+    SELECT source AS tenant_code, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents WHERE source IN ('src1', 'src2', 'src3')
+    GROUP BY source
+    """,
+)
+def q32_tenant_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/§1.1 multi-tenancy: tenant-isolation predicate + per-tenant
+    aggregation (`tenant_code = %(tenant_code)s`,
+    germline..._delta.sql:72; per-tenant DBs radiant_tables.py:102-113).
+    The tenant column doubles as a partition/filter key at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source").isin("src1", "src2", "src3"))
+        .groupBy(F.col("source").alias("tenant_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "q28_broker_load_tsv",
     oracle="""
     SELECT event_id, user_id,

@@ -73,6 +73,19 @@ def s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(emb, list(qvec), k=10)
 
 
+@query("s_ivf_kmeans_train")  # rows-only: iterative algorithm, no SQL twin
+def s_ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: 3 Lloyd iterations of k-means (k=8) over the
+    embeddings, returning per-cluster sizes — the coarse-quantizer
+    training pass (convergence asserted in tests/test_text_sim.py)."""
+    from radiant_portal_pipeline_spark.sim.kmeans import train_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = train_kmeans(emb, k=8, iters=3)
+    assigned = ann.assign_ivf_buckets(emb, cents)
+    return assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 @query("s_ann_ivf_topk")  # rows-only: recall vs brute force asserted in tests
 def s_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: 8 deterministic centroids (the embeddings of

@@ -42,14 +42,20 @@ def test_overwrite_partitions_is_partition_scoped(spark, tmp_path):
     assert rows == {("a2", 10, 0), ("b2", 20, 1)}
 
 
-def test_time_travel_and_vacuum(spark, tmp_path):
+def test_time_travel_expire_vacuum(spark, tmp_path):
     tbl = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, "part")
     tbl.append(_df(spark, [("a", 1, 0)]))
     tbl.overwrite_partitions(_df(spark, [("a2", 2, 0)]))
     assert [tuple(r) for r in tbl.read(version=1).collect()] == [("a", 1, 0)]
-    assert tbl.vacuum() == 1  # the v1 file is dead
-    # latest still readable after vacuum
+    # v1's file is still referenced by snapshot v1 -> vacuum keeps it
+    assert tbl.vacuum() == 0
+    assert [tuple(r) for r in tbl.read(version=1).collect()] == [("a", 1, 0)]
+    # expire old snapshots, then vacuum reclaims the orphaned file
+    assert tbl.expire_snapshots(keep_last=1) == 2  # v0, v1 dropped
+    assert tbl.vacuum() == 1
     assert [tuple(r) for r in tbl.read().collect()] == [("a2", 2, 0)]
+    with pytest.raises(FileNotFoundError):
+        tbl.read(version=1).collect()
 
 
 def test_epoch_guard_idempotent(spark, tmp_path):

@@ -144,6 +144,23 @@ def test_mor_cow_equivalence_with_interleaved_deletes(spark, tmp_path):
     assert len(finals["mor"]) == 1  # only c2 survives
 
 
+def test_compact_purges_old_tombstones(spark, tmp_path):
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
+    eng = TranscriptMergeEngine(tbl, num_buckets=4, mode="mor")
+    eng.merge_batch(
+        _batch(spark, [_ev("c1", 0, "D", 5, "dead"), _ev("c2", 0, "U", 10, "live")]),
+        epoch=0,
+    )
+    assert eng.raw_state().count() == 2  # tombstone retained
+    eng.compact(purge_tombstones_below=6)
+    rows = eng.raw_state().collect()
+    assert len(rows) == 1 and rows[0]["conv_id"] == "c2"
+    # a tombstone at/above the low-watermark survives compaction
+    eng.merge_batch(_batch(spark, [_ev("c3", 0, "D", 20, "recent")]), epoch=1)
+    eng.compact(purge_tombstones_below=6)
+    assert eng.raw_state().filter("_deleted").count() == 1
+
+
 def test_lineage_watermarks(engine, spark):
     engine.merge_batch(
         _batch(

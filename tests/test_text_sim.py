@@ -68,6 +68,28 @@ def test_ivf_bucket_assignment_total(spark, sf_correct):
     assert buckets <= {c for c, _ in cents}
 
 
+def test_kmeans_training_converges(spark, sf_correct):
+    from radiant_portal_pipeline_spark.sim.kmeans import (
+        inertia_proxy,
+        train_kmeans,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    cents, hist = train_kmeans(emb, k=8, iters=4)
+    assert len(cents) >= 2 and len(cents[0][1]) == 64
+    assert len(hist) == 4
+    assert inertia_proxy(hist), f"mean cosine degraded: {hist}"
+    assert hist[-1] > hist[0], f"no improvement over init: {hist}"
+    # trained centroids beat the arbitrary init for IVF recall
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    bf = [r["vec_id"] for r in ann.brute_force_topk(emb, qvec, k=10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in ann.ivf_topk(emb, cents, qvec, k=10, n_probes=2).collect()
+    ]
+    assert len(set(bf) & set(ivf)) >= 7
+
+
 def test_media_metadata_matches_direct_compute(spark, sf_correct):
     from radiant_portal_pipeline_spark.multimodal.binary import (
         extract_media_metadata,
