@@ -1,0 +1,123 @@
+"""Affinity-aware partition assignment — the reference's
+``SequencingExperimentPartitionAssigner`` (radiant/tasks/starrocks/
+partition.py:91-231, SURVEY.md A10/J10/ST9) re-expressed Spark-first.
+
+The production CDC path uses deterministic hash bucketing
+(``part_expr``) per the engine's design; this assigner exists for
+workloads that need the reference's semantics instead:
+
+- **affinity**: rows sharing an affinity key (here: the conversation's
+  user / case analog) land in the partition that key already occupies;
+- **occupancy caps**: each (strategy, part) holds at most ``cap``
+  groups; new groups open new partitions when the current one fills;
+- **strategy masks**: per-strategy partition id spaces (WGS 0x00000000 /
+  WXS 0x00010000 in the reference).
+
+Shape: the heavy lookup (existing assignment per affinity key) is a
+grouped join + MAX(part) in Spark (J10); only the NEW affinity groups —
+a per-batch-small aggregate — are assigned driver-side, exactly like
+the reference's in-Python assigner over the fetched delta.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Strategy:
+    name: str
+    mask: int
+    cap: int  # affinity groups per partition
+
+
+@dataclass
+class AssignerState:
+    """Bootstrapped from MAX(part)/COUNT per strategy (reference
+    _bootstrap_state, partition.py:167-193)."""
+
+    counters: dict[str, tuple[int, int]] = field(default_factory=dict)
+    # strategy -> (current_part_without_mask, groups_in_current_part)
+
+
+class AffinityPartitionAssigner:
+    def __init__(self, strategies: list[Strategy]):
+        self.strategies = {s.name: s for s in strategies}
+
+    def bootstrap(self, assigned: DataFrame) -> AssignerState:
+        """``assigned``: (affinity_key, strategy, part) current state."""
+        state = AssignerState()
+        if assigned is None:
+            return state
+        rows = (
+            assigned.groupBy("strategy", "part")
+            .agg(F.countDistinct("affinity_key").alias("n"))
+            .groupBy("strategy")
+            .agg(
+                F.max("part").alias("max_part"),
+                F.max(F.struct(F.col("part"), F.col("n"))).alias("top"),
+            )
+            .collect()
+        )
+        for r in rows:
+            strat = self.strategies[r["strategy"]]
+            part = r["max_part"]
+            state.counters[r["strategy"]] = (
+                part - strat.mask,
+                r["top"]["n"],
+            )
+        return state
+
+    def assign(
+        self, delta: DataFrame, assigned: DataFrame | None
+    ) -> DataFrame:
+        """Assign a partition to every delta row.
+
+        1. affinity lookup: MAX(part) per (affinity_key, strategy) from
+           existing state (grouped join — reference J10);
+        2. new groups: deterministic driver-side packing under caps,
+           ordered by (strategy, affinity_key) for replay stability.
+
+        Returns delta columns + ``part``.
+        """
+        state = self.bootstrap(assigned)
+        if assigned is not None:
+            existing = assigned.groupBy("affinity_key", "strategy").agg(
+                F.max("part").alias("_aff_part")
+            )
+            enriched = delta.join(existing, ["affinity_key", "strategy"], "left")
+        else:
+            enriched = delta.withColumn("_aff_part", F.lit(None).cast("int"))
+
+        new_groups = (
+            enriched.filter(F.col("_aff_part").isNull())
+            .select("affinity_key", "strategy")
+            .distinct()
+            .orderBy("strategy", "affinity_key")
+            .collect()
+        )
+        mapping: dict[tuple[str, str], int] = {}
+        for r in new_groups:
+            strat = self.strategies[r["strategy"]]
+            cur, n = state.counters.get(r["strategy"], (0, 0))
+            if n >= strat.cap:
+                cur, n = cur + 1, 0
+            state.counters[r["strategy"]] = (cur, n + 1)
+            mapping[(r["strategy"], r["affinity_key"])] = strat.mask + cur
+
+        if mapping:
+            entries = []
+            for (s, k), p in mapping.items():
+                entries += [F.lit(f"{s}\x00{k}"), F.lit(p)]
+            lookup = F.create_map(*entries)
+            new_part = lookup[
+                F.concat_ws("\x00", F.col("strategy"), F.col("affinity_key"))
+            ]
+        else:
+            new_part = F.lit(None).cast("int")
+        return enriched.withColumn(
+            "part", F.coalesce(F.col("_aff_part"), new_part).cast("int")
+        ).drop("_aff_part")

@@ -111,9 +111,25 @@ class TranscriptMergeEngine:
         groupBy(part, conv_id, turn_idx) (subset rule), so the LWW
         aggregation runs in place and the data leaves this function
         already laid out for the partitioned write (layout_ready)."""
-        withPart = batch.withColumn(
-            S.PART_COL, part_expr(self.key_cols[0], self.num_buckets)
-        ).repartition(self.num_buckets, F.col(S.PART_COL))
+        # data contract: merge keys and lsn must be non-null. Enforced
+        # inside the plan (raise_error branch) — no extra pass; the
+        # first violating row fails the batch with a clear message.
+        key_ok = F.lit(True)
+        for c in (*self.key_cols, self.lsn_col):
+            key_ok = key_ok & F.col(c).isNotNull()
+        checked_part = F.when(
+            key_ok, part_expr(self.key_cols[0], self.num_buckets)
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"CDC batch contains NULL in a key column "
+                    f"({', '.join(self.key_cols)}, {self.lsn_col})"
+                )
+            ).cast("int")
+        )
+        withPart = batch.withColumn(S.PART_COL, checked_part).repartition(
+            self.num_buckets, F.col(S.PART_COL)
+        )
         deduped = lww_dedup(
             withPart, [S.PART_COL, *self.key_cols], [self.lsn_col]
         )

@@ -144,6 +144,25 @@ def test_mor_cow_equivalence_with_interleaved_deletes(spark, tmp_path):
     assert len(finals["mor"]) == 1  # only c2 survives
 
 
+def test_null_key_batch_rejected(spark, tmp_path):
+    import pyspark.errors
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
+    eng = TranscriptMergeEngine(tbl, num_buckets=4)
+    import pyspark.sql.types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in CHANGE_EVENT_SCHEMA.fields]
+    )
+    bad = spark.createDataFrame(
+        [(None, 0, "user", "x", None, TS, "U", 1, 0)], nullable
+    )
+    with pytest.raises(Exception, match="NULL in a key column"):
+        eng.merge_batch(bad, epoch=0)
+    # table untouched
+    assert eng.current_state().count() == 0
+
+
 def test_compact_purges_old_tombstones(spark, tmp_path):
     tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
     eng = TranscriptMergeEngine(tbl, num_buckets=4, mode="mor")

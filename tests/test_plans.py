@@ -76,6 +76,25 @@ def test_top1_window_vs_agg_same_result_different_plan(spark, sf_smoke):
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, win.collect()))
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_smoke):
+    """X7/J9: co-located storage joins — two tables bucketed on the join
+    key join with NO exchange (the reference's colocate_with groups,
+    init/germline_snv_occurrence_create_table.sql:64-66)."""
+    o = load_table(spark, sf_smoke, "orders")
+    c = load_table(spark, sf_smoke, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    j = spark.table("b_orders").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = plan_of(j)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert j.count() > 0
+
+
 def test_lake_scan_prunes_partitions_at_file_level(spark, tmp_path):
     import pyspark.sql.types as T
 
