@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # populate the registry
 import radiant_portal_pipeline_spark.operators.relational  # noqa: F401,E402
 import radiant_portal_pipeline_spark.operators.relational2  # noqa: F401,E402
+import radiant_portal_pipeline_spark.operators.relational3  # noqa: F401,E402
 import radiant_portal_pipeline_spark.cdc.queries  # noqa: F401,E402
 
 try:  # text / similarity / multimodal operator packs

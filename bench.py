@@ -105,6 +105,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     qs = entry.queries()
+    # JVM/codegen warmup so the first headline query isn't charged for it
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().collect()
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -50,6 +50,9 @@ def exact_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+    # the shingle set feeds three plan branches (sizes + both join
+    # sides); materialize once instead of recomputing the tokenization
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,8 +146,15 @@ def minhash_lsh_dedup(
     """LSH candidates verified by exact Jaccard on the candidate set
     only (candidate pruning is the scale path; the verify join keeps
     precision exact)."""
-    cands = lsh_candidate_pairs(minhash_signatures(docs, k=k))
-    sh = word_shingles(docs, k=k)
+    sh = word_shingles(docs, k=k).localCheckpoint(eager=True)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+    cands = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
