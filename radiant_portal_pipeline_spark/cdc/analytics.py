@@ -33,7 +33,7 @@ STATS_SCHEMA = T.StructType(
         T.StructField("n_tool_calls", T.LongType(), True),
         T.StructField("total_chars", T.LongType(), True),
         T.StructField("max_lsn", T.LongType(), True),
-        T.StructField("last_ts", T.TimestampType(), True),
+        T.StructField("last_ts", T.TimestampNTZType(), True),
     ]
 )
 

@@ -105,7 +105,10 @@ def synthetic_feed(
         (F.pmod(F.xxhash64("event_id"), F.lit(len(types))) + 1).cast("int"),
     )
     df = df.withColumn("event_type", event_type).withColumn(
-        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 86400)
+        "ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("event_id") % 86400).cast(
+            "timestamp_ntz"
+        ),
     )
     if dup_frac > 0:
         dups = df.filter(

@@ -15,13 +15,17 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# ts is TIMESTAMP_NTZ end-to-end: wall-clock values independent of the
+# session timezone, so a driver/oracle session with a different TZ can
+# never shift collected values (parquet naive timestamps are NTZ in
+# Spark 4 anyway — keeping the sink NTZ avoids every conversion).
 TRANSCRIPT_FIELDS = [
     T.StructField("conv_id", T.StringType(), False),
     T.StructField("turn_idx", T.IntegerType(), False),
     T.StructField("role", T.StringType(), True),
     T.StructField("text", T.StringType(), True),
     T.StructField("tool", T.StringType(), True),
-    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("ts", T.TimestampNTZType(), True),
 ]
 
 CHANGE_EVENT_SCHEMA = T.StructType(

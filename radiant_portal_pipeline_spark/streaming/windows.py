@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _with_event_time(df: DataFrame) -> DataFrame:
+    """Spark watermarks require TIMESTAMP (LTZ) event time; the feed
+    carries TIMESTAMP_NTZ — cast here (UTC-pinned sessions make the
+    interpretation stable)."""
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def windowed_turn_counts(
     feed: DataFrame,
     window: str = "1 hour",
@@ -29,7 +38,7 @@ def windowed_turn_counts(
     """Tumbling/sliding event-time windows with a late-data watermark:
     turns and deletes per (window, role). Works on both batch and
     streaming DataFrames (same plan — the streaming-unified design)."""
-    df = feed
+    df = _with_event_time(feed)
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
@@ -51,7 +60,7 @@ def conversation_sessions(
     feed: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
     """Sessionization: gap-based session windows per conversation."""
-    df = feed
+    df = _with_event_time(feed)
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     return df.groupBy(
