@@ -29,9 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_MERGE_EVENTS", "16000000"))
-MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "3"))
-MERGE_RUNS = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS", "2"))
+MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_MERGE_EVENTS", "8000000"))
+MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "2"))
+MERGE_RUNS = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS", "3"))
 # N -> 4N parallelism pair for the scaling-efficiency evidence. (2, 8)
 # stays in this box's unsaturated regime — local[32] on shared-VM disk
 # is memory/IO-bandwidth-bound (see BENCH.md), which would measure the

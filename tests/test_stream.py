@@ -79,3 +79,48 @@ def test_stream_end_to_end_with_resume(spark, tmp_path, sf_smoke):
         F.sum(F.col("rows_inserted") + F.col("rows_updated") + F.col("rows_deleted"))
     ).head()[0]
     assert totals > 0
+
+
+def test_lineage_iud_counts_exact(spark, tmp_path):
+    """Precise I/U/D accounting per batch (FIXTURES F4)."""
+    import datetime as dt
+
+    from radiant_portal_pipeline_spark.cdc import TranscriptMergeEngine
+    from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+    from radiant_portal_pipeline_spark.cdc.schemas import CHANGE_EVENT_SCHEMA
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def ev(conv, turn, op, lsn):
+        return (conv, turn, "user", f"t{lsn}", None, TS, op, lsn, 0)
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
+    lineage = LineageWriter(spark, str(tmp_path / "lin"))
+    eng = TranscriptMergeEngine(tbl, num_buckets=4, lineage=lineage)
+
+    b0 = spark.createDataFrame(
+        [ev("c1", 0, "I", 1), ev("c2", 0, "I", 2), ev("c3", 0, "D", 3)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    eng.merge_batch(b0, epoch=0)
+    b1 = spark.createDataFrame(
+        [ev("c1", 0, "U", 4), ev("c4", 0, "I", 5), ev("c2", 0, "D", 6)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    eng.merge_batch(b1, epoch=1)
+
+    agg = {
+        r["batch_id"]: (r["i"], r["u"], r["d"])
+        for r in lineage.read()
+        .groupBy("batch_id")
+        .agg(
+            F.sum("rows_inserted").alias("i"),
+            F.sum("rows_updated").alias("u"),
+            F.sum("rows_deleted").alias("d"),
+        )
+        .collect()
+    }
+    # batch 0: two inserts + one delete of an unseen key (tombstone)
+    assert agg[0] == (2, 0, 1)
+    # batch 1: c1 update (existed), c4 insert (new), c2 delete
+    assert agg[1] == (1, 1, 1)
