@@ -41,13 +41,21 @@ def norm2_q(a) -> F.Column:
     return dot_q(a, a)
 
 
+def norm_d(a) -> F.Column:
+    """sqrt of the exact integer squared norm, as double."""
+    return F.sqrt(norm2_q(a).cast("double"))
+
+
+def cosine_from_parts(dot, nrm_a, nrm_b) -> F.Column:
+    """The single definition of the engine's rounded cosine — callers
+    that precompute norms (e.g. before a pair self-join) share the same
+    rounding/scale as cosine_q, so the two can never drift."""
+    return F.round(dot / (nrm_a * nrm_b), 4)
+
+
 def cosine_q(a, b) -> F.Column:
     """Cosine from quantized vectors: exact integer dot / float norms."""
-    return F.round(
-        dot_q(a, b)
-        / (F.sqrt(norm2_q(a).cast("double")) * F.sqrt(norm2_q(b).cast("double"))),
-        4,
-    )
+    return cosine_from_parts(dot_q(a, b), norm_d(a), norm_d(b))
 
 
 def brute_force_topk(

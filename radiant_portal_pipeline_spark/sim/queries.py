@@ -73,6 +73,53 @@ def s_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(emb, list(qvec), k=10)
 
 
+@query(
+    "s_embedding_near_dup_pairs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {_Q.format(v='embedding')} AS qv FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND({_DOT.format(a='a.qv', b='b.qv')} /
+                   (SQRT(CAST({_DOT.format(a='a.qv', b='a.qv')} AS DOUBLE)) *
+                    SQRT(CAST({_DOT.format(a='b.qv', b='b.qv')} AS DOUBLE))), 4) AS cosine
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.3
+    """,
+)
+def s_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup method, not the
+    search): candidate pruning by cluster label (a real deployment uses
+    IVF buckets — same equi-join shape), exact quantized cosine >=
+    threshold on candidates only (threshold tuned to this corpus's
+    similarity range — max intra-cluster cosine is ~0.47). Never a full cartesian: the join key
+    bounds the pair blow-up exactly like the shingle join in text dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed ONCE per vector (the dot product is the only
+    # genuinely per-pair term; recomputing norms per pair is O(m^2 d))
+    q = emb.select(
+        "vec_id",
+        "label",
+        ann.quantized(F.col("embedding")).alias("qv"),
+    ).withColumn("nrm", ann.norm_d(F.col("qv")))
+    a, b = q.alias("a"), q.alias("b")
+    cos = ann.cosine_from_parts(
+        ann.dot_q(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 @query("s_ivf_kmeans_train")  # rows-only: iterative algorithm, no SQL twin
 def s_ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build: 3 Lloyd iterations of k-means (k=8) over the

@@ -79,6 +79,36 @@ def conversation_sessions(
     )
 
 
+def streaming_dedup(
+    feed: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming duplicate elimination with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps dedup state only for the
+    watermark horizon (a plain dropDuplicates grows state forever).
+
+    Trade-off, stated plainly: the watermark also DROPS events whose
+    event time is older than the horizon — they are late data, not
+    duplicates. The merge engine downstream is already lsn-idempotent
+    (LWW + epoch guard), so this wrapper is an OPTIONAL pre-filter for
+    duplicate-heavy feeds; use it only when the source's out-of-order
+    bound fits inside the watermark, otherwise let the merge absorb
+    duplicates. Output ts keeps the pipeline's TIMESTAMP_NTZ contract
+    (the LTZ cast watermarks require is undone on the way out)."""
+    keys = keys or ["conv_id", "turn_idx", "lsn"]
+    if not feed.isStreaming:
+        return feed.dropDuplicates(keys)
+    out = (
+        _with_event_time(feed)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+    if dict(feed.dtypes).get("ts") == "timestamp_ntz":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return out
+
+
 RUNNING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -121,6 +121,32 @@ def test_session_windows(spark, tmp_path, sf_smoke):
         assert exp[(r["conv_id"], r["session_start"])] == tuple(r)
 
 
+def test_streaming_dedup_collapses_duplicates_across_batches(spark, tmp_path):
+    """At-least-once producer whose duplicates arrive in a LATER
+    micro-batch than the originals — exercises dedup state retained
+    across triggers, not just within-batch collapse."""
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.streaming.windows import streaming_dedup
+
+    base = synthetic_feed(spark, 4000).cache()
+    dups = base.filter(F.col("lsn") % 3 == 0)  # verbatim re-emissions
+    n_distinct = base.count()
+    d = str(tmp_path / "dup_feed")
+    # file 0 = originals, file 1 = the duplicates -> separate triggers
+    write_feed_partitions(base.withColumn("s", F.lit(0)), d, "s")
+    write_feed_partitions(dups.withColumn("s", F.lit(1)), d, "s")
+    got = _drain(
+        spark, d, lambda s: streaming_dedup(s), "dedup_out", "append", max_files=1
+    )
+    assert got.count() == n_distinct
+    assert (
+        got.groupBy("conv_id", "turn_idx", "lsn").count().filter("count > 1").count()
+        == 0
+    )
+    # NTZ contract preserved through the internal LTZ cast
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path, sf_smoke):
     feed, d = _stage_feed(spark, tmp_path, sf_smoke)
     got = _drain(
