@@ -68,11 +68,11 @@ def _merge_replay_seconds(spark, n_events: int, mode: str) -> dict:
     feed = feed.localCheckpoint(eager=True)  # datagen excluded from timing
 
     # JIT/codegen warmup on a throwaway table (excluded from timing)
-    warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm")
+    warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm", num_buckets=MERGE_BUCKETS)
     warm = TranscriptMergeEngine(warm_tbl, num_buckets=MERGE_BUCKETS, mode=mode)
     warm.merge_batch(feed.limit(50000).drop("slice"), epoch=0)
 
-    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=MERGE_BUCKETS)
     engine = TranscriptMergeEngine(tbl, num_buckets=MERGE_BUCKETS, mode=mode)
     t0 = time.time()
     for b in range(MERGE_BATCHES):

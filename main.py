@@ -60,7 +60,7 @@ def main() -> None:
         p.add_argument("--feed", required=True)
         p.add_argument("--table", required=True)
         p.add_argument("--mode", default="mor", choices=["mor", "cow"])
-        p.add_argument("--buckets", type=int, default=64)
+        p.add_argument("--buckets", type=int, default=None)  # None = table's stored value (64 for new tables)
         p.add_argument("--lineage")
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
@@ -68,7 +68,7 @@ def main() -> None:
 
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--buckets", type=int, default=None)  # None = table's stored value (64 for new tables)
 
     p = sub.add_parser("state")
     p.add_argument("--table", required=True)
@@ -77,7 +77,7 @@ def main() -> None:
     p = sub.add_parser("stats")
     p.add_argument("--table", required=True)
     p.add_argument("--stats", required=True)
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--buckets", type=int, default=None)  # None = table's stored value (64 for new tables)
 
     args = ap.parse_args()
     spark = _spark(args)
@@ -89,11 +89,13 @@ def main() -> None:
     from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
     from radiant_portal_pipeline_spark.lake import LakeTable
 
-    def engine_for(table_path: str, mode: str = "mor", buckets: int = 64, lineage=None):
+    def engine_for(table_path: str, mode: str = "mor", buckets: int | None = None, lineage=None):
         if LakeTable.exists(table_path):
-            tbl = LakeTable(spark, table_path)
+            tbl = LakeTable(spark, table_path)  # stored num_buckets wins
         else:
-            tbl = TranscriptMergeEngine.create_table(spark, table_path)
+            tbl = TranscriptMergeEngine.create_table(
+                spark, table_path, num_buckets=buckets if buckets else 64
+            )
         return TranscriptMergeEngine(
             tbl, num_buckets=buckets, mode=mode, lineage=lineage
         )

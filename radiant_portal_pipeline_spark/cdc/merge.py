@@ -77,7 +77,7 @@ class TranscriptMergeEngine:
     def __init__(
         self,
         table: LakeTable,
-        num_buckets: int = 32,
+        num_buckets: int | None = None,
         source_id: str = "cdc",
         key_cols: tuple[str, ...] = S.KEY_COLS,
         lsn_col: str = S.LSN_COL,
@@ -87,7 +87,22 @@ class TranscriptMergeEngine:
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
         self.table = table
-        self.num_buckets = num_buckets
+        # The bucket count is part of the TABLE's identity (rows are
+        # physically placed by pmod(xxhash64(conv_id), buckets)): an
+        # engine with a different count would read/replace the WRONG
+        # partitions and silently corrupt merges. The authoritative
+        # value lives in the table properties; an explicit mismatch is
+        # an error, not a preference.
+        stored = table.snapshot().properties.get("num_buckets")
+        if stored is not None and num_buckets is not None and stored != num_buckets:
+            raise ValueError(
+                f"table was created with num_buckets={stored}, engine got "
+                f"{num_buckets} — merges would target wrong partitions"
+            )
+        resolved = num_buckets if num_buckets is not None else stored
+        if resolved is None:
+            resolved = 32
+        self.num_buckets = int(resolved)
         self.source_id = source_id
         self.key_cols = list(key_cols)
         self.lsn_col = lsn_col
@@ -97,7 +112,11 @@ class TranscriptMergeEngine:
     @staticmethod
     def create_table(spark, path: str, num_buckets: int = 32) -> LakeTable:
         return LakeTable.create(
-            spark, path, S.sink_schema(), partition_col=S.PART_COL
+            spark,
+            path,
+            S.sink_schema(),
+            partition_col=S.PART_COL,
+            properties={"num_buckets": num_buckets},
         )
 
     # ------------------------------------------------------------------
@@ -144,7 +163,8 @@ class TranscriptMergeEngine:
             return MergeStats(epoch=epoch, skipped=True)
 
         prepared = self._prepare_batch(batch)
-        if self.lineage is not None:
+        lineage_checkpointed = self.lineage is not None
+        if lineage_checkpointed:
             prepared = prepared.localCheckpoint(eager=True)
 
         if self.mode == "mor":
@@ -164,15 +184,18 @@ class TranscriptMergeEngine:
             return stats
 
         # ---- copy-on-write: fused union + LWW over touched buckets
-        prepared = prepared.localCheckpoint(eager=True)
+        if not lineage_checkpointed:  # avoid materializing the batch twice
+            prepared = prepared.localCheckpoint(eager=True)
         parts = [r[0] for r in prepared.select(S.PART_COL).distinct().collect()]
         if not parts:
-            self.table.overwrite_partitions(
+            result = self.table.overwrite_partitions(
                 prepared, source_id=self.source_id, epoch=epoch
             )
-            return MergeStats(epoch=epoch, skipped=False, seconds=time.time() - t0)
+            return MergeStats(
+                epoch=epoch, skipped=result is None, seconds=time.time() - t0
+            )
 
-        existing = self.table.read(partitions=parts)
+        existing = self.table.read(partitions=parts, version=snap.version)
         src = prepared.withColumn(_SRC_RANK, F.lit(1))
         tgt = existing.withColumn(_SRC_RANK, F.lit(0))
         merged = lww_dedup(
@@ -188,6 +211,7 @@ class TranscriptMergeEngine:
             epoch=epoch,
             also_replace=parts,
             layout_ready=True,
+            base_version=snap.version,
         )
         stats = MergeStats(
             epoch=epoch,
@@ -231,11 +255,12 @@ class TranscriptMergeEngine:
         final DELETE of flagged-deleted tasks,
         sequencing_experiment_delete.sql:1-2). Partition-scoped, so an
         external scheduler can compact hot buckets incrementally."""
+        base_version = self.table.latest_version()  # pin what we fold
         parts = partitions if partitions is not None else self.table.partitions()
         if not parts:
             return
         folded = lww_dedup(
-            self.table.read(partitions=parts).repartition(
+            self.table.read(partitions=parts, version=base_version).repartition(
                 self.num_buckets, F.col(S.PART_COL)
             ),
             [S.PART_COL, *self.key_cols],
@@ -248,7 +273,11 @@ class TranscriptMergeEngine:
                     & (F.col(self.lsn_col) < purge_tombstones_below)
                 )
             )
-        self.table.overwrite_partitions(folded, also_replace=parts, layout_ready=True)
+        # base_version makes a concurrent append to these buckets abort
+        # the compaction (ConcurrentModification) instead of being lost
+        self.table.overwrite_partitions(
+            folded, also_replace=parts, layout_ready=True, base_version=base_version
+        )
 
     def current_state(self, include_meta: bool = False) -> DataFrame:
         df = self.table.read()

@@ -75,8 +75,8 @@ def cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §3.1-3.2)."""
     work = tempfile.mkdtemp(prefix="cdc_q_")
     feed = feed_from_events(spark, sf_dir)
-    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
-    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl)
     epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
     for e in epochs:
         engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
@@ -93,8 +93,8 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = feed.filter(F.col("lsn") % 2 == 0)
     rest = feed.filter(F.col("lsn") % 2 == 1)
 
-    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
-    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl)
     lineage = LineageWriter(spark, f"{work}/lineage")
 
     write_feed_partitions(half.withColumn("s", F.lit(0)), f"{work}/feed", "s")
@@ -135,8 +135,8 @@ def cdc_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="cdc_a_")
     feed = feed_from_events(spark, sf_dir)
-    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
-    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl)
     stats = ConversationStats(spark, f"{work}/stats", engine)
     epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
     for e in epochs:
@@ -190,8 +190,8 @@ def cdc_tombstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     including tombstone rows)."""
     work = tempfile.mkdtemp(prefix="cdc_t_")
     feed = feed_from_events(spark, sf_dir)
-    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t")
-    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl)
     engine.merge_batch(feed, epoch=0)
     return (
         engine.raw_state()  # post-LWW rows INCLUDING tombstones

@@ -31,6 +31,7 @@ def write_feed_partitions(feed_df, out_dir: str, by_col: str = "commit_epoch") -
     """Materialize a change feed as one file-source directory, one file
     per ``by_col`` value (so maxFilesPerTrigger slices micro-batches
     deterministically). Returns number of files written."""
+    feed_df = feed_df.localCheckpoint(eager=True)  # one scan, not one per value
     vals = [r[0] for r in feed_df.select(by_col).distinct().collect()]
     for v in sorted(vals):
         (

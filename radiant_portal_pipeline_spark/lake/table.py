@@ -59,6 +59,26 @@ class CommitConflict(RuntimeError):
     """Raised when the optimistic commit loses MAX_COMMIT_RETRIES times."""
 
 
+class ConcurrentModification(RuntimeError):
+    """Raised when a partition-replace commit discovers the partitions
+    it computed from were modified by a concurrent commit — the caller
+    must recompute from a fresh snapshot (Iceberg's validation-abort,
+    never a silent rebase that would drop the concurrent files)."""
+
+
+def _versions(path: str) -> list[int]:
+    """Sorted snapshot version numbers present in the log."""
+    log = os.path.join(path, _LOG_DIR)
+    out = []
+    for f in os.listdir(log):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue  # stray non-version file
+    return sorted(out)
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -134,22 +154,15 @@ class LakeTable:
     @staticmethod
     def exists(path: str) -> bool:
         log = os.path.join(path, _LOG_DIR)
-        return os.path.isdir(log) and any(
-            f.startswith("v") and f.endswith(".json") for f in os.listdir(log)
-        )
+        return os.path.isdir(log) and bool(_versions(path))
 
     # ---------------------------------------------------------- snapshots
 
     def latest_version(self) -> int:
-        log = os.path.join(self.path, _LOG_DIR)
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(log)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        versions = _versions(self.path)
         if not versions:
-            raise FileNotFoundError(f"no snapshots under {log}")
-        return max(versions)
+            raise FileNotFoundError(f"no snapshots under {self.path}")
+        return versions[-1]
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
@@ -157,14 +170,25 @@ class LakeTable:
             return Snapshot.from_json(fh.read())
 
     def _write_version(self, snap: Snapshot) -> None:
-        """Atomically create the version file; raises FileExistsError on race."""
+        """Atomically create the version file; raises FileExistsError on
+        race. The content is fully written + fsynced to a temp file
+        FIRST, then hard-linked to the final name — a concurrent reader
+        can never observe a truncated manifest."""
         target = _version_path(self.path, snap.version)
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+        data = snap.to_json().encode()
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            os.write(fd, snap.to_json().encode())
+            off = 0
+            while off < len(data):
+                off += os.write(fd, data[off:])
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, target)  # atomic; FileExistsError on race
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------- reads
 
@@ -197,7 +221,7 @@ class LakeTable:
     # ------------------------------------------------------------ writes
 
     def _write_data_files(
-        self, df: DataFrame, layout_ready: bool = False
+        self, df: DataFrame, pcol: str, layout_ready: bool = False
     ) -> dict[str, list[str]]:
         """Write a commit's data files and return {partition -> rel paths}.
 
@@ -215,11 +239,19 @@ class LakeTable:
         """
         commit_dir = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self.path, _DATA_DIR, commit_dir)
-        snap = self.snapshot()
-        pcol = snap.partition_col
         from pyspark.sql import functions as F
 
-        laid = df.withColumn(_PB_COL, F.col(pcol).cast("string"))
+        # NULL partition values would land under Hive's
+        # __HIVE_DEFAULT_PARTITION__ sentinel and become untargetable by
+        # partition reads/replaces — reject them inside the plan.
+        layout = F.when(
+            F.col(pcol).isNotNull(), F.col(pcol).cast("string")
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"NULL value in partition column {pcol!r}")
+            ).cast("string")
+        )
+        laid = df.withColumn(_PB_COL, layout)
         if not layout_ready:
             laid = laid.repartition(F.col(_PB_COL))
         laid.write.partitionBy(_PB_COL).mode("overwrite").parquet(out)
@@ -340,9 +372,15 @@ class LakeTable:
         """Add files; existing partitions keep their files (fast path for
         immutable feeds). Schema evolves additively first."""
         snap0 = self.snapshot()
+        if (
+            source_id is not None
+            and epoch is not None
+            and snap0.applied.get(source_id, -1) >= epoch
+        ):
+            return None  # already applied: skip the (expensive) write too
         schema = self._evolved_schema(snap0, df)
         new_files = self._write_data_files(
-            self._conform(df, schema), layout_ready=layout_ready
+            self._conform(df, schema), snap0.partition_col, layout_ready=layout_ready
         )
 
         def mutate(snap: Snapshot):
@@ -362,19 +400,41 @@ class LakeTable:
         epoch: int | None = None,
         also_replace: list[Any] | None = None,
         layout_ready: bool = False,
+        base_version: int | None = None,
     ) -> Snapshot | None:
         """Atomically replace exactly the partitions present in ``df``
         (plus ``also_replace`` values, which become empty if df has no
         rows for them). Untouched partitions keep their files — the
-        reference's copy+swap without the copy."""
-        snap0 = self.snapshot()
+        reference's copy+swap without the copy.
+
+        Conflict validation: if a concurrent commit modified any of the
+        replaced partitions after ``base_version`` (the snapshot the
+        replacement was COMPUTED from — pass it when the input df was
+        read earlier; defaults to the current snapshot), the commit
+        ABORTS with ConcurrentModification: the replacement lacks the
+        concurrent files and silently rebasing would drop them.
+        Disjoint-partition commits still rebase and land."""
+        snap0 = self.snapshot(base_version)
+        if (
+            source_id is not None
+            and epoch is not None
+            and snap0.applied.get(source_id, -1) >= epoch
+        ):
+            return None
         schema = self._evolved_schema(snap0, df)
         new_files = self._write_data_files(
-            self._conform(df, schema), layout_ready=layout_ready
+            self._conform(df, schema), snap0.partition_col, layout_ready=layout_ready
         )
         replaced = set(new_files.keys()) | {str(p) for p in (also_replace or [])}
+        expected = {p: list(snap0.files.get(p, [])) for p in replaced}
 
         def mutate(snap: Snapshot):
+            for p in replaced:
+                if snap.files.get(p, []) != expected[p]:
+                    raise ConcurrentModification(
+                        f"partition {p!r} changed concurrently; recompute "
+                        f"from a fresh snapshot before replacing it"
+                    )
             files = {
                 k: list(v) for k, v in snap.files.items() if k not in replaced
             }
@@ -410,42 +470,43 @@ class LakeTable:
         referenced. The latest version is never dropped."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        log = os.path.join(self.path, _LOG_DIR)
-        versions = sorted(
-            int(f[1:-5])
-            for f in os.listdir(log)
-            if f.startswith("v") and f.endswith(".json")
-        )
         removed = 0
-        for v in versions[:-keep_last]:
+        for v in _versions(self.path)[:-keep_last]:
             os.remove(_version_path(self.path, v))
             removed += 1
         return removed
 
     def vacuum(self) -> int:
         """Delete data files not referenced by ANY remaining snapshot
-        (run expire_snapshots first to bound the live set). Single-writer
-        maintenance op."""
-        log = os.path.join(self.path, _LOG_DIR)
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(log)
-            if f.startswith("v") and f.endswith(".json")
-        ]
+        (run expire_snapshots first to bound the live set), and remove
+        whole dead commit directories — including their _SUCCESS /
+        Hadoop .crc droppings, which would otherwise keep one directory
+        tree alive per commit forever. Single-writer maintenance op.
+        Returns the number of parquet data files removed."""
         live = {
             os.path.normpath(f)
-            for v in versions
+            for v in _versions(self.path)
             for fs in self.snapshot(v).files.values()
             for f in fs
         }
+        live_commit_dirs = {os.path.normpath(f).split(os.sep)[1] for f in live}
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-            for fn in filenames:
-                rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                if fn.endswith(".parquet") and os.path.normpath(rel) not in live:
-                    os.remove(os.path.join(dirpath, fn))
-                    removed += 1
-            if not os.listdir(dirpath) and dirpath != data_root:
-                shutil.rmtree(dirpath, ignore_errors=True)
+        for entry in os.listdir(data_root):
+            cdir = os.path.join(data_root, entry)
+            if not os.path.isdir(cdir):
+                continue
+            if entry not in live_commit_dirs:
+                # whole commit is dead: count its parquet files, drop the tree
+                for dirpath, _d, filenames in os.walk(cdir):
+                    removed += sum(1 for f in filenames if f.endswith(".parquet"))
+                shutil.rmtree(cdir, ignore_errors=True)
+                continue
+            # commit partially live: remove only dead parquet files
+            for dirpath, _d, filenames in os.walk(cdir, topdown=False):
+                for fn in filenames:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
+                    if fn.endswith(".parquet") and os.path.normpath(rel) not in live:
+                        os.remove(os.path.join(dirpath, fn))
+                        removed += 1
         return removed

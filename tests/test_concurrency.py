@@ -5,11 +5,14 @@ design/SJRA-1751-snv-vcf-ingestion-fan-out.md:40-60)."""
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 import pyspark.sql.types as T
+import pytest
 
 from radiant_portal_pipeline_spark.lake import LakeTable
+from radiant_portal_pipeline_spark.lake.table import ConcurrentModification
 
 SCHEMA = T.StructType(
     [
@@ -63,3 +66,46 @@ def test_racing_partition_overwrites_disjoint(spark, tmp_path):
 
     rows = {tuple(r) for r in LakeTable(spark, path).read().collect()}
     assert rows == {("new0", 0, 0), ("new1", 1, 1)}
+
+
+def test_overlapping_replace_aborts_not_loses_data(spark, tmp_path):
+    """A partition-replace computed from a stale snapshot must ABORT
+    (ConcurrentModification) when a concurrent commit added files to
+    that partition — silent rebase would drop the concurrent rows."""
+    path = str(tmp_path / "t")
+    tbl = LakeTable.create(spark, path, SCHEMA, "part")
+    tbl.append(spark.createDataFrame([("seed", 0, 0)], SCHEMA))
+
+    replacer = LakeTable(spark, path)
+    base = replacer.latest_version()  # the snapshot the fold is computed from
+    folded = spark.createDataFrame([("folded", 1, 0)], SCHEMA)
+    # ... meanwhile a concurrent append lands in the same partition
+    LakeTable(spark, path).append(spark.createDataFrame([("late", 2, 0)], SCHEMA))
+    with pytest.raises(ConcurrentModification, match="changed concurrently"):
+        replacer.overwrite_partitions(folded, base_version=base)
+    # nothing lost: both the seed and the late row are still live
+    assert {r["k"] for r in LakeTable(spark, path).read().collect()} == {
+        "seed",
+        "late",
+    }
+    # recomputing from a fresh snapshot succeeds
+    fresh = LakeTable(spark, path)
+    fresh.overwrite_partitions(spark.createDataFrame([("folded2", 3, 0)], SCHEMA))
+    assert {r["k"] for r in LakeTable(spark, path).read().collect()} == {"folded2"}
+
+
+def test_vacuum_removes_dead_commit_dirs_entirely(spark, tmp_path):
+    """Dead commits must disappear including _SUCCESS/.crc droppings —
+    unbounded directory growth is the failure mode."""
+    path = str(tmp_path / "t")
+    tbl = LakeTable.create(spark, path, SCHEMA, "part")
+    tbl.append(spark.createDataFrame([("a", 1, 0)], SCHEMA))
+    tbl.overwrite_partitions(spark.createDataFrame([("b", 2, 0)], SCHEMA))
+    data_root = os.path.join(path, "data")
+    assert len(os.listdir(data_root)) == 2  # two commit dirs
+    tbl.expire_snapshots(keep_last=1)
+    removed = tbl.vacuum()
+    assert removed == 1
+    live_dirs = os.listdir(data_root)
+    assert len(live_dirs) == 1  # dead commit dir fully gone, crc and all
+    assert [tuple(r) for r in tbl.read().collect()] == [("b", 2, 0)]

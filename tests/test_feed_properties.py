@@ -16,8 +16,8 @@ COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
 
 
 def _apply(spark, path, feed, epoch_col="commit_epoch", mode="mor"):
-    tbl = TranscriptMergeEngine.create_table(spark, path)
-    eng = TranscriptMergeEngine(tbl, num_buckets=8, mode=mode)
+    tbl = TranscriptMergeEngine.create_table(spark, path, num_buckets=8)
+    eng = TranscriptMergeEngine(tbl, mode=mode)
     epochs = sorted(r[0] for r in feed.select(epoch_col).distinct().collect())
     for e in epochs:
         eng.merge_batch(feed.filter(F.col(epoch_col) == e), epoch=e)
@@ -52,8 +52,8 @@ def test_out_of_order_delivery_converges(spark, tmp_path):
 
 def test_schema_evolution_mid_stream_feed(spark, tmp_path):
     feed = synthetic_feed(spark, N, evolve_from_lsn=3000).cache()
-    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
-    eng = TranscriptMergeEngine(tbl, num_buckets=8)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=8)
+    eng = TranscriptMergeEngine(tbl)
     epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
     for e in epochs:
         batch = feed.filter(F.col("commit_epoch") == e)
@@ -82,12 +82,12 @@ def test_replay_from_every_epoch_boundary(spark, tmp_path):
     ref = _state(_apply(spark, str(tmp_path / "ref"), feed))
     for k in range(1, len(epochs) + 1):
         path = str(tmp_path / f"b{k}")
-        tbl = TranscriptMergeEngine.create_table(spark, path)
-        eng = TranscriptMergeEngine(tbl, num_buckets=8)
+        tbl = TranscriptMergeEngine.create_table(spark, path, num_buckets=8)
+        eng = TranscriptMergeEngine(tbl)
         for e in epochs[:k]:
             eng.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
         # crash + resume: fresh engine, redeliver from epoch k-1 onward
-        eng2 = TranscriptMergeEngine(LakeTable(spark, path), num_buckets=8)
+        eng2 = TranscriptMergeEngine(LakeTable(spark, path))
         for e in epochs[k - 1 :]:
             eng2.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
         assert _state(eng2) == ref, f"divergence resuming at boundary {k}"

@@ -22,8 +22,8 @@ def _batch(spark, rows):
 
 @pytest.fixture(params=["mor", "cow"])
 def engine(spark, tmp_path, request):
-    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "transcripts"))
-    return TranscriptMergeEngine(tbl, num_buckets=8, mode=request.param)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "transcripts"), num_buckets=8)
+    return TranscriptMergeEngine(tbl, mode=request.param)
 
 
 def state(engine):
@@ -112,8 +112,8 @@ def test_replay_from_scratch_equals_incremental(engine, spark, tmp_path, sf_smok
     for e in epochs:
         engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
 
-    tbl2 = TranscriptMergeEngine.create_table(spark, str(tmp_path / "oneshot"))
-    eng2 = TranscriptMergeEngine(tbl2, num_buckets=8)
+    tbl2 = TranscriptMergeEngine.create_table(spark, str(tmp_path / "oneshot"), num_buckets=8)
+    eng2 = TranscriptMergeEngine(tbl2)
     eng2.merge_batch(feed, epoch=0)
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
@@ -135,8 +135,8 @@ def test_mor_cow_equivalence_with_interleaved_deletes(spark, tmp_path):
     ]
     finals = {}
     for mode in ("mor", "cow"):
-        tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / mode))
-        eng = TranscriptMergeEngine(tbl, num_buckets=4, mode=mode)
+        tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / mode), num_buckets=4)
+        eng = TranscriptMergeEngine(tbl, mode=mode)
         for i, r in enumerate(rows):  # one event per batch, worst case
             eng.merge_batch(_batch(spark, [r]), epoch=i)
         finals[mode] = sorted(map(tuple, eng.current_state().collect()))
@@ -147,8 +147,8 @@ def test_mor_cow_equivalence_with_interleaved_deletes(spark, tmp_path):
 def test_null_key_batch_rejected(spark, tmp_path):
     import pyspark.errors
 
-    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
-    eng = TranscriptMergeEngine(tbl, num_buckets=4)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl)
     import pyspark.sql.types as T
 
     nullable = T.StructType(
@@ -164,8 +164,8 @@ def test_null_key_batch_rejected(spark, tmp_path):
 
 
 def test_compact_purges_old_tombstones(spark, tmp_path):
-    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
-    eng = TranscriptMergeEngine(tbl, num_buckets=4, mode="mor")
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl, mode="mor")
     eng.merge_batch(
         _batch(spark, [_ev("c1", 0, "D", 5, "dead"), _ev("c2", 0, "U", 10, "live")]),
         epoch=0,

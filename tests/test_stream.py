@@ -29,8 +29,8 @@ def test_stream_end_to_end_with_resume(spark, tmp_path, sf_smoke):
     rest = feed.filter(F.col("lsn") >= 500)
     write_feed_partitions(half.withColumn("slice", F.col("lsn") % 2), feed_dir, "slice")
 
-    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
-    engine = TranscriptMergeEngine(tbl, num_buckets=8)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=8)
+    engine = TranscriptMergeEngine(tbl)
     lineage = LineageWriter(spark, str(tmp_path / "lineage"))
     ckpt = str(tmp_path / "ckpt")
 
@@ -41,7 +41,7 @@ def test_stream_end_to_end_with_resume(spark, tmp_path, sf_smoke):
     assert len(applied_1) == 2  # two files, one per micro-batch
 
     # "crash": new engine object; new files arrive; resume from checkpoint
-    engine2 = TranscriptMergeEngine(LakeTable(spark, str(tmp_path / "t")), num_buckets=8)
+    engine2 = TranscriptMergeEngine(LakeTable(spark, str(tmp_path / "t")))
     write_feed_partitions(rest.withColumn("slice", F.lit(9)), feed_dir, "slice")
     r2 = run_cdc_stream(
         spark, feed_dir, engine2, ckpt, lineage=lineage, max_files_per_trigger=1
@@ -50,8 +50,8 @@ def test_stream_end_to_end_with_resume(spark, tmp_path, sf_smoke):
     assert all(b.epoch >= len(applied_1) for b in r2.batches)
 
     # reference state: one-shot merge of the whole feed
-    tbl_ref = TranscriptMergeEngine.create_table(spark, str(tmp_path / "ref"))
-    ref = TranscriptMergeEngine(tbl_ref, num_buckets=8)
+    tbl_ref = TranscriptMergeEngine.create_table(spark, str(tmp_path / "ref"), num_buckets=8)
+    ref = TranscriptMergeEngine(tbl_ref)
     ref.merge_batch(feed, epoch=0)
     assert _final(engine2) == _final(ref)
 
@@ -94,9 +94,9 @@ def test_lineage_iud_counts_exact(spark, tmp_path):
     def ev(conv, turn, op, lsn):
         return (conv, turn, "user", f"t{lsn}", None, TS, op, lsn, 0)
 
-    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"))
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
     lineage = LineageWriter(spark, str(tmp_path / "lin"))
-    eng = TranscriptMergeEngine(tbl, num_buckets=4, lineage=lineage)
+    eng = TranscriptMergeEngine(tbl, lineage=lineage)
 
     b0 = spark.createDataFrame(
         [ev("c1", 0, "I", 1), ev("c2", 0, "I", 2), ev("c3", 0, "D", 3)],
