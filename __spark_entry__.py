@@ -24,12 +24,23 @@ import radiant_portal_pipeline_spark.operators.relational2  # noqa: F401,E402
 import radiant_portal_pipeline_spark.operators.relational3  # noqa: F401,E402
 import radiant_portal_pipeline_spark.cdc.queries  # noqa: F401,E402
 
-try:  # text / similarity / multimodal operator packs
-    import radiant_portal_pipeline_spark.text.queries  # noqa: F401,E402
-    import radiant_portal_pipeline_spark.sim.queries  # noqa: F401,E402
-    import radiant_portal_pipeline_spark.multimodal.queries  # noqa: F401,E402
-except ImportError:
-    pass
+# text / similarity / multimodal operator packs. These must fail LOUDLY:
+# a swallowed ImportError silently removes whole operator packs from the
+# driver's correctness gate (round-1 failure signature: all t_* queries
+# present, all s_*/m_* absent).
+for _mod in (
+    "radiant_portal_pipeline_spark.sim.queries",
+    "radiant_portal_pipeline_spark.multimodal.queries",
+    "radiant_portal_pipeline_spark.text.queries",
+):
+    try:
+        __import__(_mod)
+    except BaseException as _e:  # noqa: BLE001 — log context, then re-raise
+        print(
+            f"FATAL: operator pack {_mod} failed to import: {_e!r}",
+            file=sys.stderr,
+        )
+        raise
 
 from radiant_portal_pipeline_spark.operators.registry import REGISTRY  # noqa: E402
 

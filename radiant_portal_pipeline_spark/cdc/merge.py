@@ -83,9 +83,12 @@ class TranscriptMergeEngine:
         lsn_col: str = S.LSN_COL,
         mode: str = "mor",
         lineage=None,
+        merge_plan: str = "two_phase",
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if merge_plan not in ("two_phase", "single_exchange"):
+            raise ValueError(f"unknown merge_plan {merge_plan!r}")
         self.table = table
         # The bucket count is part of the TABLE's identity (rows are
         # physically placed by pmod(xxhash64(conv_id), buckets)): an
@@ -107,6 +110,7 @@ class TranscriptMergeEngine:
         self.key_cols = list(key_cols)
         self.lsn_col = lsn_col
         self.mode = mode
+        self.merge_plan = merge_plan
         self.lineage = lineage  # optional LineageWriter (cdc.lineage)
 
     @staticmethod
@@ -121,15 +125,36 @@ class TranscriptMergeEngine:
 
     # ------------------------------------------------------------------
 
-    def _prepare_batch(self, batch: DataFrame) -> DataFrame:
-        """LWW-dedup the batch, fold op -> tombstone flag, add bucket.
+    def _dedup_and_layout(self, df: DataFrame, keys, order_cols) -> DataFrame:
+        """LWW + write layout, per ``merge_plan``.
 
-        ONE shuffle total: repartition on the bucket first — because
-        ``part`` is a function of ``conv_id``, HashPartitioning(part)
-        satisfies the ClusteredDistribution of the subsequent
-        groupBy(part, conv_id, turn_idx) (subset rule), so the LWW
-        aggregation runs in place and the data leaves this function
-        already laid out for the partitioned write (layout_ready)."""
+        ``two_phase`` (default, the scale-safe plan): aggregate FIRST —
+        Catalyst plans a map-side partial combine before its own
+        exchange on the FULL group key, so a hot conversation (20-50%
+        of a feed) is reduced inside every input partition before any
+        data moves, and aggregation parallelism is shuffle.partitions,
+        not capped at num_buckets. THEN repartition the already-deduped
+        output by bucket for the partitioned write. Two exchanges, but
+        the second moves only post-dedup rows.
+
+        ``single_exchange``: repartition(num_buckets, part) first;
+        because part = f(conv_id), HashPartitioning(part) satisfies the
+        ClusteredDistribution of groupBy(part, conv_id, turn_idx)
+        (subset rule) and the aggregation reuses the exchange. One
+        exchange total — but it carries the RAW batch with no partial
+        reduction, and the hot bucket lands in ONE task (the round-1
+        scaling ceiling). Only wins for low-duplication feeds with
+        buckets >= cores; kept for that profile and for the bench
+        comparison."""
+        if self.merge_plan == "single_exchange":
+            laid = df.repartition(self.num_buckets, F.col(S.PART_COL))
+            return lww_dedup(laid, keys, order_cols)
+        deduped = lww_dedup(df, keys, order_cols)
+        return deduped.repartition(self.num_buckets, F.col(S.PART_COL))
+
+    def _prepare_batch(self, batch: DataFrame) -> DataFrame:
+        """LWW-dedup the batch, fold op -> tombstone flag, add bucket,
+        lay out for the partitioned write (see _dedup_and_layout)."""
         # data contract: merge keys and lsn must be non-null. Enforced
         # inside the plan (raise_error branch) — no extra pass; the
         # first violating row fails the batch with a clear message.
@@ -146,10 +171,8 @@ class TranscriptMergeEngine:
                 )
             ).cast("int")
         )
-        withPart = batch.withColumn(S.PART_COL, checked_part).repartition(
-            self.num_buckets, F.col(S.PART_COL)
-        )
-        deduped = lww_dedup(
+        withPart = batch.withColumn(S.PART_COL, checked_part)
+        deduped = self._dedup_and_layout(
             withPart, [S.PART_COL, *self.key_cols], [self.lsn_col]
         )
         return deduped.withColumn(
@@ -198,10 +221,8 @@ class TranscriptMergeEngine:
         existing = self.table.read(partitions=parts, version=snap.version)
         src = prepared.withColumn(_SRC_RANK, F.lit(1))
         tgt = existing.withColumn(_SRC_RANK, F.lit(0))
-        merged = lww_dedup(
-            src.unionByName(tgt, allowMissingColumns=True).repartition(
-                self.num_buckets, F.col(S.PART_COL)
-            ),
+        merged = self._dedup_and_layout(
+            src.unionByName(tgt, allowMissingColumns=True),
             [S.PART_COL, *self.key_cols],
             [self.lsn_col, _SRC_RANK],
         ).drop(_SRC_RANK)
@@ -259,10 +280,8 @@ class TranscriptMergeEngine:
         parts = partitions if partitions is not None else self.table.partitions()
         if not parts:
             return
-        folded = lww_dedup(
-            self.table.read(partitions=parts, version=base_version).repartition(
-                self.num_buckets, F.col(S.PART_COL)
-            ),
+        folded = self._dedup_and_layout(
+            self.table.read(partitions=parts, version=base_version),
             [S.PART_COL, *self.key_cols],
             [self.lsn_col],
         )

@@ -115,10 +115,12 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     live AS (SELECT * FROM r WHERE rn = 1 AND op <> 'D')
     SELECT conv_id,
            COUNT(*) AS n_turns,
-           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
-           SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls,
-           SUM(LENGTH(text)) AS total_chars,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_calls,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            MAX(lsn) AS max_lsn,
            MAX(ts) AS last_ts
     FROM live GROUP BY conv_id
@@ -180,7 +182,7 @@ def cdc_delta_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM feed)
     SELECT conv_id,
            COUNT(*) AS n_turns,
-           SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_tombstones
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
     FROM ranked WHERE rn = 1 GROUP BY conv_id
     """,
 )

@@ -203,25 +203,31 @@ def q06_multiway_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim AS (
       SELECT l_partkey, l_suppkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_sum_price,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS ps_sum_cents,
              COUNT(*) AS ps_n
       FROM lineitem GROUP BY l_partkey, l_suppkey)
-    SELECT l.l_orderkey, l.l_linenumber, d.ps_sum_price, d.ps_n
+    SELECT l.l_orderkey, l.l_linenumber, d.ps_sum_cents, d.ps_n
     FROM lineitem l LEFT JOIN dim d
       ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
     """,
 )
 def q07_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: composite-key equi join (snv_consequence_insert.sql:39-40
-    dbnsfp on (locus_id, transcript_id)). Exact DECIMAL sums keep the
-    result engine-independent (float sums differ in the last ulp)."""
+    dbnsfp on (locus_id, transcript_id)). Prices are quantized to BIGINT
+    cents per row BEFORE summing on BOTH sides, so the aggregate is an
+    exact integer — engine- and dtype-identical (DuckDB's DECIMAL /
+    HUGEINT sums render differently from Spark's in the driver's
+    canonicalizer even when values are equal)."""
     li = load_table(spark, sf_dir, "lineitem")
     dim = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps_sum_price"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("ps_sum_cents"),
         F.count(F.lit(1)).alias("ps_n"),
     )
     return li.join(dim, ["l_partkey", "l_suppkey"], "left").select(
-        "l_orderkey", "l_linenumber", "ps_sum_price", "ps_n"
+        "l_orderkey", "l_linenumber", "ps_sum_cents", "ps_n"
     )
 
 

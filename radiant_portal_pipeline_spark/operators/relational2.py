@@ -60,8 +60,9 @@ def q23_cohort_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_sorted_array_agg",
     oracle="""
     SELECT l_orderkey,
-           LIST_SORT(LIST_DISTINCT(LIST(l_returnflag))) AS flags,
-           LEN(LIST_DISTINCT(LIST(l_partkey))) AS n_parts
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(l_returnflag))), ',')
+             AS flags,
+           CAST(LEN(LIST_DISTINCT(LIST(l_partkey))) AS BIGINT) AS n_parts
     FROM lineitem GROUP BY l_orderkey
     """,
 )
@@ -69,12 +70,19 @@ def q24_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A7: array_agg + distinct + NULL-free collect
     (array_remove(array_unique_agg(x), NULL),
     snv_staging_variant_insert.sql:38; collect_list of overlaps,
-    germline_cnv_occurrence_insert_partition_delta.sql:1,7). Arrays are
-    sorted so the value is deterministic across engines."""
+    germline_cnv_occurrence_insert_partition_delta.sql:1,7). The sorted
+    array is emitted as a comma-joined STRING on both sides: the
+    driver's pandas canonicalizer cannot sort list-valued cells
+    (round-1 `unhashable type: 'list'`); the raw-array variant stays
+    covered in tests/test_text_sim.py-style pytest assertions."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.array_distinct(F.collect_list("l_returnflag"))).alias("flags"),
-        F.size(F.array_distinct(F.collect_list("l_partkey"))).alias("n_parts"),
+        F.concat_ws(
+            ",", F.sort_array(F.array_distinct(F.collect_list("l_returnflag")))
+        ).alias("flags"),
+        F.size(F.array_distinct(F.collect_list("l_partkey")))
+        .cast("long")
+        .alias("n_parts"),
     )
 
 
@@ -297,7 +305,7 @@ def q31_lookup_table_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_tenant_isolation",
     oracle="""
     SELECT source AS tenant_code, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE source IN ('src1', 'src2', 'src3')
     GROUP BY source
     """,
@@ -313,7 +321,7 @@ def q32_tenant_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("source").alias("tenant_code"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
 

@@ -22,9 +22,9 @@ from radiant_portal_pipeline_spark.operators.registry import load_table, query
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     s AS (
-      SELECT *, SUM(new_session) OVER (
+      SELECT *, CAST(SUM(new_session) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM w)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(event_id) AS first_event, MAX(event_id) AS last_event
@@ -48,7 +48,7 @@ def q33_sessionization_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ev.withColumn("session_id", sess)
+        ev.withColumn("session_id", sess.cast("long"))
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

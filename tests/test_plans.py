@@ -49,17 +49,46 @@ def test_filter_and_projection_pushdown(spark, sf_smoke):
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
 
 
-def test_merge_prepare_is_single_exchange(spark):
-    feed = synthetic_feed(spark, 1000)
+def _bare_engine(merge_plan: str):
     eng = TranscriptMergeEngine.__new__(TranscriptMergeEngine)
     eng.num_buckets = 16
     eng.key_cols = ["conv_id", "turn_idx"]
     eng.lsn_col = "lsn"
+    eng.merge_plan = merge_plan
+    return eng
+
+
+def test_merge_prepare_two_phase_keeps_partial_aggregation(spark):
+    """The default plan must NOT let the layout repartition swallow the
+    aggregation's own exchange: the LWW groupBy keys its exchange on the
+    FULL (part, conv_id, turn_idx) with a partial aggregate BELOW it
+    (map-side combine = the skew defense), and only the deduped output
+    is repartitioned by bucket."""
+    feed = synthetic_feed(spark, 1000)
     plan = plan_of(
-        TranscriptMergeEngine._prepare_batch(eng, feed), mode="simple"
+        TranscriptMergeEngine._prepare_batch(_bare_engine("two_phase"), feed),
+        mode="simple",
+    )
+    assert plan.count("Exchange") == 2, plan
+    first, rest = plan.split("Exchange", 2)[1], plan.split("Exchange", 2)[2]
+    # topmost exchange: layout by bucket only (post-dedup rows)
+    assert "conv_id" not in first.splitlines()[0], plan
+    # deeper exchange: the aggregation's, keyed on the full group key,
+    # with a partial aggregate BELOW it (closer to the scan)
+    agg_exchange_line = rest.splitlines()[0]
+    assert "conv_id" in agg_exchange_line and "turn_idx" in agg_exchange_line, plan
+    assert "Aggregate" in rest, plan  # partial agg below the exchange
+
+
+def test_merge_prepare_single_exchange_variant(spark):
+    """The low-duplication profile: one exchange, aggregation reuses it
+    (subset-clustering rule)."""
+    feed = synthetic_feed(spark, 1000)
+    plan = plan_of(
+        TranscriptMergeEngine._prepare_batch(_bare_engine("single_exchange"), feed),
+        mode="simple",
     )
     assert plan.count("Exchange") == 1, plan
-    # partial + final aggregation both present (map-side combine for skew)
     assert plan.count("Aggregate") >= 2
 
 
