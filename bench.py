@@ -53,7 +53,10 @@ HEADLINE = [
 ]
 
 
-def _merge_replay_seconds(spark, n_events: int, mode: str) -> dict:
+def _merge_replay_seconds(
+    spark, n_events: int, mode: str, merge_plan: str = "two_phase",
+    hot_every: int = 5,
+) -> dict:
     """Apply a synthetic feed in MERGE_BATCHES epoch slices; wall time.
     MoR additionally times a final compaction + state materialization."""
     from pyspark.sql import functions as F
@@ -62,18 +65,22 @@ def _merge_replay_seconds(spark, n_events: int, mode: str) -> dict:
     from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
-    feed = synthetic_feed(spark, n_events, n_convs=9973).withColumn(
-        "slice", (F.col("lsn") * MERGE_BATCHES / n_events).cast("int")
-    )
+    feed = synthetic_feed(
+        spark, n_events, n_convs=9973, hot_every=hot_every
+    ).withColumn("slice", (F.col("lsn") * MERGE_BATCHES / n_events).cast("int"))
     feed = feed.localCheckpoint(eager=True)  # datagen excluded from timing
 
     # JIT/codegen warmup on a throwaway table (excluded from timing)
     warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm", num_buckets=MERGE_BUCKETS)
-    warm = TranscriptMergeEngine(warm_tbl, num_buckets=MERGE_BUCKETS, mode=mode)
+    warm = TranscriptMergeEngine(
+        warm_tbl, num_buckets=MERGE_BUCKETS, mode=mode, merge_plan=merge_plan
+    )
     warm.merge_batch(feed.limit(50000).drop("slice"), epoch=0)
 
     tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=MERGE_BUCKETS)
-    engine = TranscriptMergeEngine(tbl, num_buckets=MERGE_BUCKETS, mode=mode)
+    engine = TranscriptMergeEngine(
+        tbl, num_buckets=MERGE_BUCKETS, mode=mode, merge_plan=merge_plan
+    )
     t0 = time.time()
     for b in range(MERGE_BATCHES):
         engine.merge_batch(feed.filter(F.col("slice") == b).drop("slice"), epoch=b)
@@ -84,16 +91,19 @@ def _merge_replay_seconds(spark, n_events: int, mode: str) -> dict:
     return {"apply_seconds": apply_s, "compact_seconds": round(compact_s, 3)}
 
 
-def merge_only(cpus: int, n_events: int, mode: str) -> dict:
+def merge_only(
+    cpus: int, n_events: int, mode: str, merge_plan: str = "two_phase",
+    hot_every: int = 5,
+) -> dict:
     from radiant_portal_pipeline_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"bench_merge_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    rec = _merge_replay_seconds(spark, n_events, mode)
+    rec = _merge_replay_seconds(spark, n_events, mode, merge_plan, hot_every)
     rec.update({"seconds": rec["apply_seconds"], "events": n_events, "cpus": cpus,
-                "mode": mode})
+                "mode": mode, "merge_plan": merge_plan, "hot_every": hot_every})
     return rec
 
 
@@ -123,11 +133,23 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--events", type=int, default=MERGE_EVENTS)
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument(
+        "--merge-plan", default="two_phase",
+        choices=["two_phase", "single_exchange"],
+    )
+    ap.add_argument("--hot-every", type=int, default=5)
     ap.add_argument("--no-scaling", action="store_true")
     args = ap.parse_args()
 
     if args.merge_only:
-        print(json.dumps(merge_only(args.cpus, args.events, args.mode)))
+        print(
+            json.dumps(
+                merge_only(
+                    args.cpus, args.events, args.mode, args.merge_plan,
+                    args.hot_every,
+                )
+            )
+        )
         return
 
     queries = run_headline(SF_DIR, args.cpus)
@@ -149,6 +171,10 @@ def main() -> None:
                         str(args.events),
                         "--mode",
                         args.mode,
+                        "--merge-plan",
+                        args.merge_plan,
+                        "--hot-every",
+                        str(args.hot_every),
                     ],
                     capture_output=True,
                     text=True,

@@ -69,6 +69,10 @@ def main() -> None:
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, default=None)  # None = table's stored value (64 for new tables)
+    p.add_argument("--min-files", type=int, default=None,
+                   help="fold only buckets holding >= this many files")
+    p.add_argument("--small-file-bytes", type=int, default=None,
+                   help="also fold buckets whose mean file size is below this")
 
     p = sub.add_parser("state")
     p.add_argument("--table", required=True)
@@ -81,8 +85,6 @@ def main() -> None:
 
     args = ap.parse_args()
     spark = _spark(args)
-
-    from pyspark.sql import functions as F
 
     from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
     from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
@@ -112,17 +114,27 @@ def main() -> None:
         print(f"wrote {args.events} events to {args.out}")
 
     elif args.cmd == "replay":
+        # batch replay IS the streaming path with an availableNow drain:
+        # micro-batches come from the file-source + checkpoint, never
+        # from a driver-side distinct().collect() over the feed (that
+        # round-1 form ran one full feed scan PER epoch — it would
+        # never finish at the 10^4-batch design point). Re-running with
+        # the same table resumes from the replay checkpoint.
+        from radiant_portal_pipeline_spark.cdc.stream import run_cdc_stream
+
         lineage = LineageWriter(spark, args.lineage) if args.lineage else None
         eng = engine_for(args.table, args.mode, args.buckets, lineage)
-        feed = spark.read.parquet(args.feed)
-        epochs = sorted(
-            r[0] for r in feed.select("commit_epoch").distinct().collect()
+        res = run_cdc_stream(
+            spark,
+            args.feed,
+            eng,
+            os.path.join(args.table, "_replay_ckpt"),
+            max_files_per_trigger=1,
         )
-        for e in epochs:
-            st = eng.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
+        for st in res.batches:
             print(
-                f"epoch {e}: skipped={st.skipped} parts={st.parts_touched} "
-                f"{st.seconds:.2f}s"
+                f"batch {st.epoch}: skipped={st.skipped} "
+                f"parts={st.parts_touched} {st.seconds:.2f}s"
             )
 
     elif args.cmd == "stream":
@@ -143,8 +155,11 @@ def main() -> None:
 
     elif args.cmd == "compact":
         eng = engine_for(args.table, buckets=args.buckets)
-        eng.compact()
-        print("compacted", args.table)
+        done = eng.compact(
+            min_files_per_bucket=args.min_files,
+            small_file_bytes=args.small_file_bytes,
+        )
+        print(f"compacted {len(done)} bucket(s) in {args.table}")
 
     elif args.cmd == "state":
         eng = engine_for(args.table)

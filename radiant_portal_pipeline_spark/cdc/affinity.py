@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class AffinityConflict(ValueError):
+    """Two affinity dimensions of one row point at DIFFERENT existing
+    partitions — the reference treats this as a data error and aborts
+    (radiant/tasks/starrocks/partition.py:134-141), never silently
+    picks one."""
+
+
 @dataclass
 class Strategy:
     name: str
@@ -121,3 +128,134 @@ class AffinityPartitionAssigner:
         return enriched.withColumn(
             "part", F.coalesce(F.col("_aff_part"), new_part).cast("int")
         ).drop("_aff_part")
+
+    # ------------------------------------------------- multi-dimension
+
+    def assign_multi(
+        self,
+        delta: DataFrame,
+        assigned: DataFrame | None,
+        affinity_cols: list[str],
+        id_col: str = "row_id",
+    ) -> DataFrame:
+        """The reference's FULL affinity semantics: a row carries
+        SEVERAL affinity dimensions (patient/seq/case/family in
+        partition.py:102-165; the delta view enriches all four,
+        staging_sequencing_experiment_delta_create_table.sql:13-97).
+        A match on ANY dimension reuses that partition; matches on two
+        dimensions pointing at different partitions raise
+        ``AffinityConflict``; rows with no match are packed into
+        partitions under the strategy cap, and every dimension value of
+        an assigned row binds to its partition for LATER rows of the
+        same batch (in-batch transitivity — the reference updates its
+        key->part dicts as it walks the delta).
+
+        Scale shape: the state lookup is a distributed melt + equi-join
+        + per-row collect_set (one shuffle keyed on (dim, key)); only
+        the per-batch delta rows are walked driver-side — exactly the
+        reference's design, which assumes the DELTA is small even when
+        the STATE is huge. NULL dimension values are skipped.
+        """
+        dims = list(affinity_cols)
+        key_struct = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("dim"), F.col(c).cast("string").alias("key")
+                )
+                for c in dims
+            ]
+        )
+
+        if assigned is not None:
+            melted_state = (
+                assigned.select(
+                    "strategy", "part", F.explode(key_struct).alias("_ak")
+                )
+                .select(
+                    "strategy",
+                    "part",
+                    F.col("_ak.dim").alias("dim"),
+                    F.col("_ak.key").alias("key"),
+                )
+                .filter(F.col("key").isNotNull())
+                .distinct()
+            )
+            melted_delta = (
+                delta.select(id_col, "strategy", F.explode(key_struct).alias("_ak"))
+                .select(
+                    id_col,
+                    "strategy",
+                    F.col("_ak.dim").alias("dim"),
+                    F.col("_ak.key").alias("key"),
+                )
+                .filter(F.col("key").isNotNull())
+            )
+            matches = (
+                melted_delta.join(melted_state, ["strategy", "dim", "key"])
+                .groupBy(id_col)
+                .agg(F.collect_set("part").alias("_parts"))
+            )
+            match_map = {
+                r[id_col]: sorted(r["_parts"]) for r in matches.collect()
+            }
+        else:
+            match_map = {}
+
+        rows = delta.select(id_col, "strategy", *dims).orderBy(
+            "strategy", id_col
+        ).collect()  # per-batch delta: small by design (see docstring)
+
+        state = self.bootstrap(None)
+        if assigned is not None:
+            # seed occupancy counters from existing per-strategy maxima
+            occ = (
+                assigned.groupBy("strategy", "part")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .groupBy("strategy")
+                .agg(F.max(F.struct(F.col("part"), F.col("n"))).alias("top"))
+                .collect()
+            )
+            for r in occ:
+                strat = self.strategies[r["strategy"]]
+                state.counters[r["strategy"]] = (
+                    r["top"]["part"] - strat.mask,
+                    r["top"]["n"],
+                )
+
+        batch_bindings: dict[tuple[str, str, str], int] = {}
+        out: dict = {}
+        for r in rows:
+            rid, strategy = r[id_col], r["strategy"]
+            candidates = set(match_map.get(rid, []))
+            for d in dims:
+                k = r[d]
+                if k is None:
+                    continue
+                bound = batch_bindings.get((strategy, d, str(k)))
+                if bound is not None:
+                    candidates.add(bound)
+            if len(candidates) > 1:
+                raise AffinityConflict(
+                    f"row {rid!r}: affinity dimensions point at partitions "
+                    f"{sorted(candidates)} — inconsistent assignment state"
+                )
+            if candidates:
+                part = candidates.pop()
+            else:
+                strat = self.strategies[strategy]
+                cur, n = state.counters.get(strategy, (0, 0))
+                if n >= strat.cap:
+                    cur, n = cur + 1, 0
+                state.counters[strategy] = (cur, n + 1)
+                part = strat.mask + cur
+            for d in dims:
+                k = r[d]
+                if k is not None:
+                    batch_bindings[(strategy, d, str(k))] = part
+            out[rid] = part
+
+        entries = []
+        for rid, p in out.items():
+            entries += [F.lit(rid), F.lit(p)]
+        lookup = F.create_map(*entries) if entries else F.create_map()
+        return delta.withColumn("part", lookup[F.col(id_col)].cast("int"))

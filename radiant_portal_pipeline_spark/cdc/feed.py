@@ -45,8 +45,15 @@ FROM {source}
 """
 
 
-def feed_sql(dialect: str, source: str = "events") -> str:
-    """Render the feed derivation for 'spark' or 'duckdb'."""
+def feed_sql(
+    dialect: str,
+    source: str = "events",
+    hot_every: int = HOT_EVERY,
+    n_convs: int = N_CONVS,
+) -> str:
+    """Render the feed derivation for 'spark' or 'duckdb'.
+    ``hot_every=k`` sends every k-th event to the single hot
+    conversation (k=5 → 20% hot, k=2 → 50% hot — the skew-bench knob)."""
     if dialect == "spark":
         div, str_t = "DIV", "STRING"
     elif dialect == "duckdb":
@@ -54,8 +61,8 @@ def feed_sql(dialect: str, source: str = "events") -> str:
     else:
         raise ValueError(dialect)
     return _FEED_TEMPLATE.format(
-        hot=HOT_EVERY,
-        nconv=N_CONVS,
+        hot=hot_every,
+        nconv=n_convs,
         hot_turns=HOT_TURNS,
         turns=MAX_TURNS,
         div=div,
@@ -79,6 +86,7 @@ def synthetic_feed(
     dup_frac: float = 0.0,
     ooo_window: int = 0,
     evolve_from_lsn: int | None = None,
+    hot_every: int = HOT_EVERY,
 ) -> DataFrame:
     """Purely generated feed for benchmarks and property tests
     (FIXTURES.md F2). Same envelope arithmetic as the events-derived
@@ -118,8 +126,8 @@ def synthetic_feed(
         df = df.unionAll(dups)
     df.createOrReplaceTempView("_cdc_synth_src")
     feed = spark.sql(
-        feed_sql("spark", source="_cdc_synth_src").replace(
-            f"% {N_CONVS}", f"% {n_convs}"
+        feed_sql(
+            "spark", source="_cdc_synth_src", hot_every=hot_every, n_convs=n_convs
         )
     )
     if payload_chars:

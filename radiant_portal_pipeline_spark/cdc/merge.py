@@ -120,7 +120,12 @@ class TranscriptMergeEngine:
             path,
             S.sink_schema(),
             partition_col=S.PART_COL,
-            properties={"num_buckets": num_buckets},
+            # manifest min/max stats for the scan-pruning columns: an
+            # lsn/ts/turn-range read opens only intersecting files
+            properties={
+                "num_buckets": num_buckets,
+                "stats_cols": [S.LSN_COL, "turn_idx", "ts"],
+            },
         )
 
     # ------------------------------------------------------------------
@@ -263,11 +268,42 @@ class TranscriptMergeEngine:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _bucket_needs_compaction(
+        snap, part: str, min_files: int | None, small_bytes: int | None
+    ) -> bool:
+        fs = snap.files.get(part, [])
+        if len(fs) < 2:
+            return False  # already one file (or empty) — nothing to fold
+        if min_files is not None and len(fs) >= min_files:
+            return True
+        if small_bytes is not None:
+            sizes = [snap.stats.get(f, {}).get("_bytes") for f in fs]
+            known = [s for s in sizes if s is not None]
+            if known and sum(known) / len(known) < small_bytes:
+                return True
+        return False
+
+    def changes_since(self, lsn_exclusive: int) -> DataFrame:
+        """Rows with lsn > the given watermark — the downstream-delta
+        read (reference P1 watermark filter). The manifest's per-file
+        lsn min/max prune the scan to files that can contain newer
+        rows: on a compacted 10^10-row table this opens only the tail
+        of each bucket, not every file (SURVEY.md #2 'what's missing'
+        round-1 item)."""
+        pruned = self.table.read(skip={self.lsn_col: (lsn_exclusive + 1, None)})
+        df = pruned.filter(F.col(self.lsn_col) > lsn_exclusive)
+        if self.mode == "mor":
+            df = lww_dedup(df, self.key_cols, [self.lsn_col])
+        return df
+
     def compact(
         self,
         partitions: list | None = None,
         purge_tombstones_below: int | None = None,
-    ) -> None:
+        min_files_per_bucket: int | None = None,
+        small_file_bytes: int | None = None,
+    ) -> list:
         """Fold MoR deltas: rewrite partitions to one row per key.
         Tombstones are KEPT by default — they guard against out-of-order
         stragglers. Once the source guarantees no event below some LSN
@@ -275,11 +311,32 @@ class TranscriptMergeEngine:
         ``purge_tombstones_below`` to GC them (reference analog: the
         final DELETE of flagged-deleted tasks,
         sequencing_experiment_delete.sql:1-2). Partition-scoped, so an
-        external scheduler can compact hot buckets incrementally."""
-        base_version = self.table.latest_version()  # pin what we fold
-        parts = partitions if partitions is not None else self.table.partitions()
+        external scheduler can compact hot buckets incrementally.
+
+        Incremental policy (reference write-sizing X12,
+        table_accumulator.py:16-41): when ``partitions`` is None,
+        ``min_files_per_bucket`` folds ONLY buckets holding at least
+        that many files, and ``small_file_bytes`` additionally selects
+        buckets whose mean file size is below the target — so a
+        streaming MoR table converges to bounded files/bucket with
+        partition-scoped rewrites, never a full-table pass. Returns the
+        list of partitions actually compacted."""
+        snap = self.table.snapshot()
+        base_version = snap.version  # pin what we fold
+        if partitions is not None:
+            parts = list(partitions)
+        else:
+            parts = sorted(snap.files.keys())
+            if min_files_per_bucket is not None or small_file_bytes is not None:
+                parts = [
+                    p
+                    for p in parts
+                    if self._bucket_needs_compaction(
+                        snap, p, min_files_per_bucket, small_file_bytes
+                    )
+                ]
         if not parts:
-            return
+            return []
         folded = self._dedup_and_layout(
             self.table.read(partitions=parts, version=base_version),
             [S.PART_COL, *self.key_cols],
@@ -297,6 +354,7 @@ class TranscriptMergeEngine:
         self.table.overwrite_partitions(
             folded, also_replace=parts, layout_ready=True, base_version=base_version
         )
+        return parts
 
     def current_state(self, include_meta: bool = False) -> DataFrame:
         df = self.table.read()

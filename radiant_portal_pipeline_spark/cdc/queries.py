@@ -68,18 +68,22 @@ def cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("cdc_lww_final_state", oracle=_ORACLE_FINAL_STATE)
 def cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP: full batch CDC replay — feed applied epoch-by-epoch
-    through the merge engine into a LakeTable (partition-pruned
-    copy-on-write, tombstones, epoch guard), final state read back.
-    Matches the reference's end state after its incremental import loop
-    (SURVEY.md §3.1-3.2)."""
+    """FLAGSHIP: full CDC replay — the feed materialized as one file
+    per commit_epoch (single Spark job), then micro-batched through the
+    streaming path (maxFilesPerTrigger=1 → one epoch per batch) into a
+    LakeTable via foreachBatch merge. No driver-side `.collect()` of
+    epochs anywhere: at the 10^4-batch design point the stream trigger
+    is the loop (round 1 filtered the feed once PER epoch — O(epochs)
+    full scans). Matches the reference's end state after its
+    incremental import loop (SURVEY.md §3.1-3.2)."""
     work = tempfile.mkdtemp(prefix="cdc_q_")
     feed = feed_from_events(spark, sf_dir)
+    write_feed_partitions(feed, f"{work}/feed")
     tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
     engine = TranscriptMergeEngine(tbl)
-    epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
-    for e in epochs:
-        engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
+    run_cdc_stream(
+        spark, f"{work}/feed", engine, f"{work}/ckpt", max_files_per_trigger=1
+    )
     return engine.current_state().select(*_FINAL_STATE_COLS)
 
 
@@ -137,13 +141,19 @@ def cdc_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="cdc_a_")
     feed = feed_from_events(spark, sf_dir)
+    write_feed_partitions(feed, f"{work}/feed")
     tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
     engine = TranscriptMergeEngine(tbl)
     stats = ConversationStats(spark, f"{work}/stats", engine)
-    epochs = sorted(r[0] for r in feed.select("commit_epoch").distinct().collect())
-    for e in epochs:
-        st = engine.merge_batch(feed.filter(F.col("commit_epoch") == e), epoch=e)
-        stats.refresh(st.parts)  # touched buckets only
+    run_cdc_stream(
+        spark,
+        f"{work}/feed",
+        engine,
+        f"{work}/ckpt",
+        max_files_per_trigger=1,
+        # touched buckets only; an epoch-guard-skipped replay refreshes nothing
+        on_batch=lambda st: None if st.skipped else stats.refresh(st.parts),
+    )
     return stats.read().drop("part")
 
 

@@ -28,19 +28,45 @@ from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
 
 
 def write_feed_partitions(feed_df, out_dir: str, by_col: str = "commit_epoch") -> int:
-    """Materialize a change feed as one file-source directory, one file
-    per ``by_col`` value (so maxFilesPerTrigger slices micro-batches
-    deterministically). Returns number of files written."""
-    feed_df = feed_df.localCheckpoint(eager=True)  # one scan, not one per value
-    vals = [r[0] for r in feed_df.select(by_col).distinct().collect()]
-    for v in sorted(vals):
-        (
-            feed_df.filter(F.col(by_col) == v)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-    return len(vals)
+    """Materialize a change feed as one flat file-source directory with
+    one file per ``by_col`` value (so maxFilesPerTrigger slices
+    micro-batches deterministically).
+
+    ONE Spark job total: repartition by the epoch column (every epoch's
+    rows land in a single task), ``partitionBy`` a duplicated layout
+    column, then flatten the directory tree with driver-side renames —
+    metadata ops only. (Round 1 ran one filter+write JOB per epoch:
+    fine at 5 epochs, hopeless at the 10^4-batch design point.)
+    Returns the number of files written."""
+    import os
+    import uuid
+
+    staged = f"{out_dir}-staged-{uuid.uuid4().hex}"
+    (
+        feed_df.withColumn("_ep", F.col(by_col))
+        .repartition(F.col("_ep"))
+        .write.mode("overwrite")
+        .partitionBy("_ep")
+        .parquet(staged)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for entry in sorted(os.listdir(staged)):
+        if not entry.startswith("_ep="):
+            continue
+        val = entry.split("=", 1)[1]
+        pdir = os.path.join(staged, entry)
+        for i, fn in enumerate(sorted(os.listdir(pdir))):
+            if fn.endswith(".parquet"):
+                os.rename(
+                    os.path.join(pdir, fn),
+                    os.path.join(out_dir, f"ep-{val}-{i}-{uuid.uuid4().hex}.parquet"),
+                )
+                n += 1
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
+    return n
 
 
 @dataclass
@@ -56,10 +82,14 @@ def run_cdc_stream(
     lineage: LineageWriter | None = None,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    on_batch=None,
 ) -> StreamResult | StreamingQuery:
     """Tail ``feed_dir`` and apply every micro-batch through the merge
     engine. ``availableNow`` drains all pending input then stops —
-    rerunning with the same checkpoint processes only new files."""
+    rerunning with the same checkpoint processes only new files.
+    ``on_batch(stats)`` runs after each applied micro-batch — the hook
+    downstream incremental aggregates use to refresh only the buckets
+    that batch touched."""
     reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -72,6 +102,8 @@ def run_cdc_stream(
     def apply_batch(batch_df, batch_id: int) -> None:
         stats = engine.merge_batch(batch_df, epoch=batch_id)
         result.batches.append(stats)
+        if on_batch is not None:
+            on_batch(stats)
 
     query = (
         feed.writeStream.foreachBatch(apply_batch)

@@ -66,6 +66,79 @@ class ConcurrentModification(RuntimeError):
     never a silent rebase that would drop the concurrent files)."""
 
 
+def _json_safe(v):
+    """Stats values must round-trip through the JSON manifest; ISO
+    strings keep timestamp ordering under plain string comparison."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _collect_file_stats(
+    root: str, rel_paths: list[str], stat_cols: list[str]
+) -> dict[str, dict[str, Any]]:
+    """Per-file size + min/max for ``stat_cols``, read from parquet
+    footers only (no data pages). Mirrors the reference's per-column
+    stats collection on every write (radiant/tasks/iceberg/
+    utils.py:196-243). Files whose footer lacks min/max for a column
+    simply carry no entry for it — scans keep them (conservative)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def one(rel: str) -> tuple[str, dict[str, Any]]:
+        fp = os.path.join(root, rel)
+        entry: dict[str, Any] = {"_bytes": os.path.getsize(fp)}
+        if stat_cols:
+            md = pq.ParquetFile(fp).metadata
+            names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            for c in stat_cols:
+                i = names.get(c)
+                if i is None:
+                    continue
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn = st.min if mn is None or st.min < mn else mn
+                    mx = st.max if mx is None or st.max > mx else mx
+                if ok and mn is not None:
+                    entry[c] = [_json_safe(mn), _json_safe(mx)]
+        return rel, entry
+
+    if not rel_paths:
+        return {}
+    # footer reads are IO-bound; a commit writes O(buckets) files, so
+    # collect in parallel to keep driver-side commit latency flat in
+    # the bucket count
+    with ThreadPoolExecutor(max_workers=min(16, len(rel_paths))) as ex:
+        return dict(ex.map(one, rel_paths))
+
+
+def _file_may_match(stat_entry: dict[str, Any], skip: dict[str, tuple]) -> bool:
+    """False only when the file's [min,max] for some column PROVABLY
+    misses the requested [lo,hi] range (None bound = unbounded). Rows
+    with NULL in the column never satisfy a range predicate, so
+    dropping the file cannot lose matching rows."""
+    for col, (lo, hi) in skip.items():
+        rng = stat_entry.get(col)
+        if not rng:
+            continue
+        mn, mx = rng
+        if lo is not None and _json_safe(lo) > mx:
+            return False
+        if hi is not None and _json_safe(hi) < mn:
+            return False
+    return True
+
+
 def _versions(path: str) -> list[int]:
     """Sorted snapshot version numbers present in the log."""
     log = os.path.join(path, _LOG_DIR)
@@ -87,6 +160,13 @@ class Snapshot:
     files: dict[str, list[str]]  # partition value (as str) -> relative file paths
     applied: dict[str, int] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
+    # per-file column statistics for scan-time file skipping (Iceberg's
+    # column metrics; reference collects them on every write,
+    # radiant/tasks/iceberg/utils.py:196-243):
+    #   {rel_path: {"_bytes": int, col: [min, max], ...}}
+    # min/max are JSON-safe (timestamps as ISO strings). Only columns
+    # listed in properties["stats_cols"] are collected.
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -97,6 +177,7 @@ class Snapshot:
                 "files": self.files,
                 "applied": self.applied,
                 "properties": self.properties,
+                "stats": self.stats,
             }
         )
 
@@ -110,6 +191,7 @@ class Snapshot:
             files=d["files"],
             applied=d.get("applied", {}),
             properties=d.get("properties", {}),
+            stats=d.get("stats", {}),
         )
 
 
@@ -196,6 +278,7 @@ class LakeTable:
         self,
         partitions: list[Any] | None = None,
         version: int | None = None,
+        skip: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Scan live files (optionally pruned to specific partition values).
 
@@ -203,17 +286,44 @@ class LakeTable:
         an additive schema change surface NULL for the new columns.
         Partition pruning here is file-list pruning at plan time — the
         scan never opens files outside the requested partitions.
-        """
+
+        ``skip={col: (lo, hi)}`` additionally prunes files whose
+        manifest min/max for ``col`` cannot intersect [lo, hi] (either
+        bound may be None). This is a PRUNING HINT: the caller still
+        applies the real filter; skipping only removes files that
+        provably contain no matching rows. At 100 TB this is the
+        difference between opening 64 files and 64,000 for an
+        lsn/ts-range read (reference: min/max scan pruning over Iceberg
+        column metrics, SURVEY.md X8/X12)."""
         snap = self.snapshot(version)
         if partitions is None:
             rel = [f for fs in snap.files.values() for f in fs]
         else:
             wanted = {str(p) for p in partitions}
             rel = [f for pv, fs in snap.files.items() if pv in wanted for f in fs]
+        if skip:
+            rel = [f for f in rel if _file_may_match(snap.stats.get(f, {}), skip)]
         if not rel:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f) for f in rel]
         return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def live_files(
+        self,
+        partitions: list[Any] | None = None,
+        skip: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """The relative file list a read() with the same arguments would
+        scan — lets tests and planners assert file-skipping directly."""
+        snap = self.snapshot()
+        if partitions is None:
+            rel = [f for fs in snap.files.values() for f in fs]
+        else:
+            wanted = {str(p) for p in partitions}
+            rel = [f for pv, fs in snap.files.items() if pv in wanted for f in fs]
+        if skip:
+            rel = [f for f in rel if _file_may_match(snap.stats.get(f, {}), skip)]
+        return sorted(rel)
 
     def partitions(self) -> list[str]:
         return sorted(self.snapshot().files.keys())
@@ -221,9 +331,14 @@ class LakeTable:
     # ------------------------------------------------------------ writes
 
     def _write_data_files(
-        self, df: DataFrame, pcol: str, layout_ready: bool = False
-    ) -> dict[str, list[str]]:
-        """Write a commit's data files and return {partition -> rel paths}.
+        self,
+        df: DataFrame,
+        pcol: str,
+        layout_ready: bool = False,
+        stat_cols: list[str] | None = None,
+    ) -> tuple[dict[str, list[str]], dict[str, dict[str, Any]]]:
+        """Write a commit's data files; return ({partition -> rel
+        paths}, {rel path -> file stats}).
 
         Executors write in parallel via ``partitionBy`` on a duplicated
         layout column; the partition column itself stays as a regular
@@ -257,7 +372,7 @@ class LakeTable:
         laid.write.partitionBy(_PB_COL).mode("overwrite").parquet(out)
         files: dict[str, list[str]] = {}
         if not os.path.isdir(out):
-            return files
+            return files, {}
         for entry in os.listdir(out):
             if not entry.startswith(f"{_PB_COL}="):
                 continue
@@ -270,7 +385,9 @@ class LakeTable:
             ]
             if rels:
                 files[pv] = sorted(rels)
-        return files
+        all_rels = [f for fs in files.values() for f in fs]
+        stats = _collect_file_stats(self.path, all_rels, stat_cols or [])
+        return files, stats
 
     def _commit(
         self,
@@ -280,7 +397,7 @@ class LakeTable:
     ) -> Snapshot | None:
         """Optimistic-concurrency commit loop.
 
-        ``mutate(snapshot) -> (files, schema)`` computes the next
+        ``mutate(snapshot) -> (files, schema, stats)`` computes the next
         manifest from the freshest snapshot; on a version-file race we
         re-read and re-apply — partition-level changes rebase cleanly
         (reference: radiant/tasks/iceberg/utils.py:73-96 rebuilds the
@@ -297,7 +414,7 @@ class LakeTable:
                 and snap.applied.get(source_id, -1) >= epoch
             ):
                 return None
-            files, schema = mutate(snap)
+            files, schema, stats = mutate(snap)
             applied = dict(snap.applied)
             if source_id is not None and epoch is not None:
                 applied[source_id] = epoch
@@ -308,6 +425,7 @@ class LakeTable:
                 files=files,
                 applied=applied,
                 properties=snap.properties,
+                stats=stats,
             )
             try:
                 self._write_version(nxt)
@@ -379,15 +497,18 @@ class LakeTable:
         ):
             return None  # already applied: skip the (expensive) write too
         schema = self._evolved_schema(snap0, df)
-        new_files = self._write_data_files(
-            self._conform(df, schema), snap0.partition_col, layout_ready=layout_ready
+        new_files, new_stats = self._write_data_files(
+            self._conform(df, schema),
+            snap0.partition_col,
+            layout_ready=layout_ready,
+            stat_cols=snap0.properties.get("stats_cols"),
         )
 
         def mutate(snap: Snapshot):
             files = {k: list(v) for k, v in snap.files.items()}
             for pv, fs in new_files.items():
                 files.setdefault(pv, []).extend(fs)
-            return files, self._evolved_schema(snap, df)
+            return files, self._evolved_schema(snap, df), {**snap.stats, **new_stats}
 
         out = self._commit(mutate, source_id=source_id, epoch=epoch)
         self.last_commit_partitions = sorted(new_files.keys())
@@ -422,8 +543,11 @@ class LakeTable:
         ):
             return None
         schema = self._evolved_schema(snap0, df)
-        new_files = self._write_data_files(
-            self._conform(df, schema), snap0.partition_col, layout_ready=layout_ready
+        new_files, new_stats = self._write_data_files(
+            self._conform(df, schema),
+            snap0.partition_col,
+            layout_ready=layout_ready,
+            stat_cols=snap0.properties.get("stats_cols"),
         )
         replaced = set(new_files.keys()) | {str(p) for p in (also_replace or [])}
         expected = {p: list(snap0.files.get(p, [])) for p in replaced}
@@ -438,9 +562,16 @@ class LakeTable:
             files = {
                 k: list(v) for k, v in snap.files.items() if k not in replaced
             }
+            dropped = {
+                f for p in replaced for f in snap.files.get(p, [])
+            }
             for pv, fs in new_files.items():
                 files[pv] = list(fs)
-            return files, self._evolved_schema(snap, df)
+            stats = {
+                k: v for k, v in snap.stats.items() if k not in dropped
+            }
+            stats.update(new_stats)
+            return files, self._evolved_schema(snap, df), stats
 
         out = self._commit(mutate, source_id=source_id, epoch=epoch)
         self.last_commit_partitions = sorted(replaced)
@@ -457,7 +588,7 @@ class LakeTable:
             for f in fields:
                 if f.name not in names:
                     out.append(T.StructField(f.name, f.dataType, nullable=True))
-            return snap.files, T.StructType(out)
+            return snap.files, T.StructType(out), snap.stats
 
         snap = self._commit(mutate)
         assert snap is not None

@@ -104,17 +104,10 @@ def assign_ivf_buckets(
     )
 
 
-def ivf_topk(
-    vectors: DataFrame,
-    centroids: list[tuple[int, list[float]]],
-    query_vec: list[float],
-    k: int = 10,
-    n_probes: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF search: rank centroids vs the query driver-side (C is tiny),
-    scan only the top ``n_probes`` buckets, brute-force within."""
+def rank_probe_buckets(
+    centroids: list[tuple[int, list[float]]], query_vec: list[float], n_probes: int
+) -> list[int]:
+    """Centroid ranking vs the query, driver-side (C is tiny)."""
     import math
 
     def cos(a, b):
@@ -126,7 +119,70 @@ def ivf_topk(
         )
 
     ranked = sorted(centroids, key=lambda c: (-cos(c[1], query_vec), c[0]))
-    probe_ids = [cid for cid, _ in ranked[:n_probes]]
+    return [cid for cid, _ in ranked[:n_probes]]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot IVF search over an UNindexed table: assigns buckets on
+    the fly, then scans only the probed buckets' rows. NOTE this still
+    READS the whole table once to compute assignments — the indexed
+    path (build_ivf_index + ivf_topk_indexed) is the scale form, where
+    assignment is paid once at build time and queries open only the
+    probed buckets' FILES via manifest pruning."""
+    probe_ids = rank_probe_buckets(centroids, query_vec, n_probes)
     assigned = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("bucket").isin(probe_ids))
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_ivf_index(
+    spark,
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVF bucket assignment as a bucket-PARTITIONED
+    LakeTable (the 'index build' job): one pass over the vectors, rows
+    physically clustered by bucket, per-bucket file lists recorded in
+    the manifest. At 100 TB this is what makes n_probes/C of the data
+    the only data a query touches (round-1 ivf_topk recomputed the
+    assignment over the ENTIRE table per query)."""
+    from radiant_portal_pipeline_spark.lake import LakeTable
+
+    assigned = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+    tbl = LakeTable.create(
+        spark,
+        path,
+        assigned.schema,
+        partition_col="bucket",
+        properties={"n_centroids": len(centroids)},
+    )
+    tbl.append(assigned)
+    return tbl
+
+
+def ivf_topk_indexed(
+    index,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a built index: manifest-level partition
+    pruning opens ONLY the probed buckets' files (assert-able via
+    index.live_files(partitions=probe_ids))."""
+    probe_ids = rank_probe_buckets(centroids, query_vec, n_probes)
+    cand = index.read(partitions=probe_ids)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -135,16 +135,23 @@ def s_ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("s_ann_ivf_topk")  # rows-only: recall vs brute force asserted in tests
 def s_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: 8 deterministic centroids (the embeddings of
-    vec_id 1..8), 2 probes, brute force within probed buckets — the
-    scale path (bucket = partition-prune key at 100 TB)."""
+    """IVF-bucketed ANN via a PERSISTED index: 8 deterministic
+    centroids (the embeddings of vec_id 1..8), assignment materialized
+    ONCE into a bucket-partitioned LakeTable, then a 2-probe query that
+    opens only the probed buckets' files (manifest pruning — round 1
+    recomputed assignments over the whole table per query)."""
+    import tempfile
+
     emb = load_table(spark, sf_dir, "embeddings")
     cents = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.filter(F.col("vec_id").between(1, 8)).collect()
     ]
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    return ann.ivf_topk(emb, cents, qvec, k=10, n_probes=2)
+    index = ann.build_ivf_index(
+        spark, emb, cents, tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    )
+    return ann.ivf_topk_indexed(index, cents, qvec, k=10, n_probes=2)
 
 
 @query(
@@ -159,27 +166,20 @@ def s_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid accumulation (the vector-aggregation shape a
-    clustering/ANN-build pass needs): elementwise integer sum of
-    quantized vectors per label — exact, shuffle only on label."""
+    clustering/ANN-build pass needs): posexplode to (label, dim, value)
+    rows, then plain SUM per (label, dim) — partial aggregation
+    combines map-side and NO aggregation buffer ever holds more than
+    one scalar per group (the round-1 collect_list-of-vectors form
+    buffered every vector of a label in one buffer — OOM at 10^8
+    vectors/label). Same shape the k-means update uses
+    (sim/kmeans.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
     qv = ann.quantized(F.col("embedding"))
-    summed = (
-        emb.select("label", qv.alias("qv"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.aggregate(
-                F.collect_list("qv"),
-                zero,
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-            ).alias("sumvec"),
-        )
+    dims = emb.select("label", F.posexplode(qv).alias("dim", "v"))
+    centroid = dims.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n_d")
     )
-    return summed.select(
-        "label",
-        "n",
-        F.aggregate(
-            F.col("sumvec"), F.lit(0).cast("long"), lambda acc, v: acc + v
-        ).alias("sum_all_dims"),
+    return centroid.groupBy("label").agg(
+        F.max("n_d").alias("n"),  # every dim has the label's row count
+        F.sum("s").cast("long").alias("sum_all_dims"),
     )

@@ -83,6 +83,57 @@ def exact_jaccard_pairs(
     )
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Duplicate-GROUP resolution: connected components over a near-dup
+    pair graph via iterated min-label propagation, pure DataFrame ops.
+
+    Every node starts labeled with itself; each round a node takes the
+    min of its own label and its neighbors' labels. Convergence needs
+    O(component diameter) rounds — near-dup clusters are shallow (a dup
+    of a dup of a dup...), so this terminates in a handful of
+    distributed passes; each pass is one join + one groupBy, both keyed
+    on node id (no skew beyond the hottest node's degree). Returns
+    (node, label) where label = min doc_id of the component — the
+    keeper (reference analog: the hash-identity keeper pattern,
+    variant_lookup_insert_hashes.sql:1-6).
+    """
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"dedup_groups did not converge in {max_iters} rounds")
+
+
 # ------------------------------------------------------------- MinHash/LSH
 
 N_HASHES = 32
@@ -208,15 +259,26 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by simhash: pigeonhole on 4 x 16-bit bands (any
-    pair within hamming<=3 per band shares at least one exact band when
-    distance <= 3; with 4 bands, distance <= 3 guaranteed, larger
-    distances probabilistic) then exact popcount filter."""
+    """Near-dup pairs by simhash with an EXACT recall contract: the 64
+    bits are split into ``max_hamming + 1`` bands, so any pair within
+    the advertised hamming distance must agree exactly on at least one
+    band (pigeonhole) and is found by the band equi-join; the popcount
+    filter then keeps precision exact. (Round-1 shipped fixed 4x16-bit
+    bands with max_hamming=6 — pairs at distance 4-6 differing in all
+    four bands were silently missed.) Narrower bands admit more false
+    candidates; at 64 bits the practical ceiling is max_hamming ~ 15."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31]")
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sh = simhash64(docs)
-    bands = F.expr(
-        "transform(sequence(0, 3), i -> struct("
-        "i AS band_id, shiftright(simhash, i * 16) & 65535L AS band_val))"
+    band_structs = ", ".join(
+        f"struct({i} AS band_id, "
+        f"shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1}L AS band_val)"
+        for i in range(n_bands)
     )
+    bands = F.expr(f"array({band_structs})")
     banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", "b.band_id", "b.band_val"
     )

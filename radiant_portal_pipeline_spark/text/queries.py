@@ -139,9 +139,14 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t_ngram_jaccard_dedup",
-    oracle=f"""
+# hot shingles (stop-phrases) are cut from the posting lists BEFORE the
+# shared-shingle self-join — one shingle shared by F docs alone creates
+# F^2/2 candidate pairs, the classic quadratic blow-up. Applied
+# identically in the DuckDB oracle, so the jaccard values (computed over
+# the CAPPED shingle sets, sizes included) stay engine-identical.
+MAX_SHINGLE_FREQ = 50
+
+_NGRAM_PAIRS_SQL = f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
     sh AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
@@ -149,23 +154,75 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         i -> w[i::INT] || ' ' || w[i::INT + 1] || ' ' || w[i::INT + 2]))) AS shingle
       FROM d),
     sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
-    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    ok AS (SELECT shingle FROM sh2 GROUP BY shingle
+           HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}),
+    sh3 AS (SELECT sh2.doc_id, sh2.shingle FROM sh2 JOIN ok USING (shingle)),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           ROUND(shared * 1.0 / (x.n_sh + y.n_sh - shared), 4) AS jaccard
-    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-    WHERE ROUND(shared * 1.0 / (x.n_sh + y.n_sh - shared), 4) >= 0.4
-    """,
-)
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             ROUND(shared * 1.0 / (x.n_sh + y.n_sh - shared), 4) AS jaccard
+      FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.4
+"""
+
+
+@query("t_ngram_jaccard_dedup", oracle=_NGRAM_PAIRS_SQL)
 def t_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: word-3-shingle Jaccard >= 0.4 with
     shared-shingle candidate generation (no cartesian — the pair join
-    key is the shingle)."""
+    key is the shingle) and the hot-shingle posting-list cut wired in
+    (round 1 shipped it uncapped — one stop-shingle made the self-join
+    quadratic in its posting-list length)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.exact_jaccard_pairs(d, threshold=0.4, k=3)
+    return D.exact_jaccard_pairs(
+        d, threshold=0.4, k=3, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+
+
+@query(
+    "t_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE jacpairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jacpairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jacpairs),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b),
+    comp AS (SELECT node, MIN(label) AS keeper FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.keeper, d.doc_id) AS keeper_doc_id,
+           (d.doc_id <> COALESCE(c.keeper, d.doc_id)) AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def t_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: near-dup pairs → connected
+    components (iterated min-label propagation, text/dedup.py
+    dedup_groups) → keeper per group — the operator that actually
+    DROPS rows in a training-data pipeline (pairs alone don't). The
+    DuckDB oracle recomputes components with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.exact_jaccard_pairs(
+        d, threshold=0.4, k=3, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    comp = D.dedup_groups(pairs)
+    keeper = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            keeper.alias("keeper_doc_id"),
+            (F.col("doc_id") != keeper).alias("is_duplicate"),
+        )
+    )
 
 
 @query("t_minhash_lsh_dedup")  # rows-only: xxhash64 has no DuckDB twin
@@ -180,8 +237,9 @@ def t_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("t_simhash_near_pairs")  # rows-only
 def t_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dup pairs (hamming <= 6) via 16-bit band
-    pigeonhole join; signatures computed with a per-row HOF fold —
+    """SimHash64 near-dup pairs, hamming <= 6 with EXACT recall: 7
+    bands (max_hamming+1) so the pigeonhole guarantee covers the full
+    advertised distance; signatures computed with a per-row HOF fold —
     zero shuffles until the band join."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(d, max_hamming=6)

@@ -65,3 +65,94 @@ def test_rows_of_same_group_share_partition(spark):
     for r in rows:
         parts[r["affinity_key"]].add(r["part"])
     assert all(len(v) == 1 for v in parts.values())
+
+
+# ------------------------------------------------ multi-dimension affinity
+
+
+def _mdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "row_id string, strategy string, patient string, casegrp string"
+    )
+
+
+def _madf(spark, rows):
+    return spark.createDataFrame(
+        rows, "strategy string, part int, patient string, casegrp string"
+    )
+
+
+def test_multi_key_reuse_any_dimension(spark):
+    """A match on ANY of the affinity dimensions reuses that partition
+    (reference partition.py:102-165 walks patient/seq/case/family)."""
+    a = AffinityPartitionAssigner(STRATS)
+    # part 7 already holds cap=2 groups -> a NEW group must roll to 8
+    assigned = _madf(spark, [("wgs", 7, "p1", "c1"), ("wgs", 7, "p9", "c9")])
+    delta = _mdf(
+        spark,
+        [
+            ("r1", "wgs", "p1", "cX"),   # matches via patient
+            ("r2", "wgs", "pY", "c1"),   # matches via case
+            ("r3", "wgs", "pZ", "cZ"),   # new group, current part full
+        ],
+    )
+    out = {
+        r["row_id"]: r["part"]
+        for r in a.assign_multi(
+            delta, assigned, ["patient", "casegrp"], id_col="row_id"
+        ).collect()
+    }
+    assert out["r1"] == 7 and out["r2"] == 7
+    assert out["r3"] == 8
+
+
+def test_multi_key_in_batch_transitivity(spark):
+    """A later row sharing a key with an earlier in-batch assignment
+    lands in the same partition (the reference updates its key->part
+    dicts as it walks the delta)."""
+    a = AffinityPartitionAssigner(STRATS)
+    delta = _mdf(
+        spark,
+        [
+            ("r1", "wgs", "p1", "c1"),
+            ("r2", "wgs", "p1", "c2"),   # shares patient with r1
+            ("r3", "wgs", "p3", "c2"),   # shares case with r2
+        ],
+    )
+    out = {
+        r["row_id"]: r["part"]
+        for r in a.assign_multi(delta, None, ["patient", "casegrp"]).collect()
+    }
+    assert out["r1"] == out["r2"] == out["r3"]
+
+
+def test_multi_key_conflict_raises(spark):
+    """Two dimensions pointing at DIFFERENT existing partitions is a
+    data error (reference partition.py:134-141 ValueError)."""
+    import pytest
+
+    from radiant_portal_pipeline_spark.cdc.affinity import AffinityConflict
+
+    a = AffinityPartitionAssigner(STRATS)
+    assigned = _madf(spark, [("wgs", 1, "p1", "cA"), ("wgs", 2, "p2", "cB")])
+    delta = _mdf(spark, [("r1", "wgs", "p1", "cB")])  # p1->1 but cB->2
+    with pytest.raises(AffinityConflict, match="inconsistent"):
+        a.assign_multi(delta, assigned, ["patient", "casegrp"])
+
+
+def test_multi_key_null_dimensions_skipped_and_caps_roll(spark):
+    a = AffinityPartitionAssigner(STRATS)
+    delta = _mdf(
+        spark,
+        [
+            ("r1", "wgs", None, "c1"),
+            ("r2", "wgs", "p2", None),
+            ("r3", "wgs", "p3", "c3"),  # cap=2 -> rolls to next part
+        ],
+    )
+    out = {
+        r["row_id"]: r["part"]
+        for r in a.assign_multi(delta, None, ["patient", "casegrp"]).collect()
+    }
+    assert out["r1"] == out["r2"] == 0  # distinct groups, same part (cap 2)
+    assert out["r3"] == 1

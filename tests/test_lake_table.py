@@ -97,3 +97,51 @@ def test_schema_passed_to_scan_prunes_columns(spark, tmp_path):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "k" in read_schema and "v" not in read_schema
+
+
+# ------------------------------------------------------- stats & skipping
+
+
+def test_manifest_stats_and_file_skipping(spark, tmp_path):
+    """X8/X12: per-file min/max land in the manifest and an lsn-style
+    range read opens strictly fewer files than a full scan."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, "part",
+        properties={"stats_cols": ["v"]},
+    )
+    # 4 commits with disjoint v-ranges -> 4 files per bucket, prunable
+    for base in (0, 100, 200, 300):
+        tbl.append(_df(spark, [(f"k{base}", base + i, 0) for i in range(10)]))
+    snap = tbl.snapshot()
+    all_files = tbl.live_files(partitions=[0])
+    assert len(all_files) == 4
+    for f in all_files:
+        st = snap.stats[f]
+        assert "_bytes" in st and st["_bytes"] > 0
+        assert "v" in st and st["v"][0] <= st["v"][1]
+    # range read [200, 250]: only the third commit's file may match
+    pruned = tbl.live_files(partitions=[0], skip={"v": (200, 250)})
+    assert len(pruned) == 1
+    got = tbl.read(partitions=[0], skip={"v": (200, 250)}).filter(
+        F.col("v").between(200, 250)
+    )
+    assert {r["v"] for r in got.collect()} == set(range(200, 210))
+    # half-open range: v > 295
+    assert len(tbl.live_files(partitions=[0], skip={"v": (296, None)})) == 1
+    # files without stats for the column are kept (conservative)
+    assert len(tbl.live_files(partitions=[0], skip={"missing": (0, 1)})) == 4
+
+
+def test_stats_follow_partition_replace(spark, tmp_path):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, "part",
+        properties={"stats_cols": ["v"]},
+    )
+    tbl.append(_df(spark, [("a", 1, 0), ("b", 1000, 1)]))
+    old_files = set(tbl.snapshot().stats.keys())
+    tbl.overwrite_partitions(_df(spark, [("a2", 5, 0)]))
+    snap = tbl.snapshot()
+    # replaced partition's old file stats dropped, new ones present,
+    # untouched partition's stats retained
+    assert set(snap.stats.keys()) == {f for fs in snap.files.values() for f in fs}
+    assert old_files - set(snap.stats.keys())  # something was dropped

@@ -192,3 +192,44 @@ def test_lineage_watermarks(engine, spark):
     assert sum(r["rows_total"] for r in wm.values()) == 3
     assert sum(r["tombstones"] for r in wm.values()) == 1
     assert max(r["applied_lsn"] for r in wm.values()) == 3
+
+
+def test_incremental_compaction_policy_bounds_files(spark, tmp_path):
+    """X12: a long-running MoR table converges to bounded files/bucket
+    under the min_files policy, with partition-scoped rewrites only."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl, mode="mor")
+    for e in range(12):
+        eng.merge_batch(
+            _batch(spark, [
+                _ev(f"c{i}", 0, "U", e * 100 + i, f"t{e}-{i}") for i in range(8)
+            ]),
+            epoch=e,
+        )
+        done = eng.compact(min_files_per_bucket=5)
+        snap = tbl.snapshot()
+        assert max(len(fs) for fs in snap.files.values()) < 6
+        if done:  # compaction rewrote ONLY qualifying buckets
+            assert all(len(snap.files[str(p)]) == 1 for p in done)
+    # a fully-compacted table: policy pass is a no-op (no version bump)
+    eng.compact(min_files_per_bucket=5)
+    v = tbl.snapshot().version
+    assert eng.compact(min_files_per_bucket=5) == []
+    assert tbl.snapshot().version == v
+
+
+def test_changes_since_prunes_files_and_is_lww_correct(spark, tmp_path):
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=2)
+    eng = TranscriptMergeEngine(tbl, mode="mor")
+    eng.merge_batch(_batch(spark, [_ev("c1", 0, "U", 1, "a"), _ev("c2", 0, "U", 2, "b")]), epoch=0)
+    eng.merge_batch(_batch(spark, [_ev("c1", 0, "U", 10, "a2")]), epoch=1)
+    eng.merge_batch(_batch(spark, [_ev("c3", 0, "U", 20, "c")]), epoch=2)
+    # delta read above lsn=5: only epochs 1-2 rows, LWW folded
+    delta = {
+        (r["conv_id"], r["turn_idx"]): r["lsn"]
+        for r in eng.changes_since(5).collect()
+    }
+    assert delta == {("c1", 0): 10, ("c3", 0): 20}
+    # file skipping really pruned: scanned files < live files
+    skipped = tbl.live_files(skip={"lsn": (6, None)})
+    assert len(skipped) < len(tbl.live_files())

@@ -104,3 +104,65 @@ def test_media_metadata_matches_direct_compute(spark, sf_correct):
     for r in docs.select("doc_id", "text").collect():
         n = len(r["text"].encode("utf-8"))
         assert got[r["doc_id"]] == (n, n % 256, (n * 7) % 256)
+
+
+def test_dedup_groups_connected_components(spark):
+    from radiant_portal_pipeline_spark.text.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        # two components: {1,2,3,7} (chain), {5,9}; 4/8 absent from graph
+        [(1, 2), (2, 3), (3, 7), (5, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {(r["node"], r["label"]) for r in dedup_groups(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (5, 5), (9, 5)}
+
+
+def test_simhash_band_recall_is_exact_at_max_hamming(spark, sf_correct):
+    """Pigeonhole contract: with max_hamming+1 bands, EVERY pair within
+    the advertised distance is found — verify against the O(n^2)
+    ground truth on the test corpus."""
+    from radiant_portal_pipeline_spark.text.dedup import simhash64, simhash_near_pairs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    sh = simhash64(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 6)
+        .collect()
+    }
+    assert got == truth  # exact recall AND precision
+
+
+def test_ivf_indexed_path_prunes_files_and_matches_onthefly(spark, sf_correct, tmp_path):
+    """The persisted index must (a) return exactly what the on-the-fly
+    IVF search returns and (b) open ONLY the probed buckets' files."""
+    emb = load_table(spark, sf_correct, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").between(1, 8)).collect()
+    ]
+    index = ann.build_ivf_index(spark, emb, cents, str(tmp_path / "ivf"))
+    probe_ids = ann.rank_probe_buckets(cents, qvec, n_probes=2)
+    pruned = index.live_files(partitions=probe_ids)
+    assert 0 < len(pruned) < len(index.live_files())
+    got = [
+        tuple(r) for r in ann.ivf_topk_indexed(index, cents, qvec, k=10, n_probes=2).collect()
+    ]
+    want = [
+        tuple(r) for r in ann.ivf_topk(emb, cents, qvec, k=10, n_probes=2).collect()
+    ]
+    assert got == want
