@@ -6,10 +6,12 @@ minimal table format with the same *semantics* the reference relies on:
 - snapshot isolation via an append-only log of immutable version files
   (``_log/v%012d.json``), each a FULL snapshot manifest (file list per
   partition) so reads are O(1) — no log replay;
-- atomic commits via ``O_CREAT|O_EXCL`` creation of the next version
-  file; losers re-read the fresh snapshot, rebase their partition-level
-  changes, and retry with exponential backoff + jitter — the same
-  protocol as the reference's Iceberg committer
+- atomic commits through a pluggable ``CommitProtocol`` (create-if-
+  absent of the next version file; POSIX ``O_CREAT|O_EXCL`` default,
+  object-store variants documented on the class); losers re-read the
+  fresh snapshot, rebase their partition-level changes, and retry with
+  exponential backoff + jitter — the same protocol as the reference's
+  Iceberg committer
   (reference: radiant/tasks/iceberg/utils.py:61-96 ``commit_files``);
 - partition-scoped copy-on-write replace (``overwrite_partitions``) —
   the reference's copy-unchanged + insert-delta + atomic partition swap
@@ -57,6 +59,64 @@ MAX_COMMIT_RETRIES = 20
 
 class CommitConflict(RuntimeError):
     """Raised when the optimistic commit loses MAX_COMMIT_RETRIES times."""
+
+
+class CommitProtocol:
+    """The ONE primitive the lake's transactionality rests on:
+    *publish these bytes under this name atomically, or fail if the
+    name exists* (plus durable reads and a name listing). Everything
+    else — snapshot isolation, optimistic rebase, partition-replace
+    validation — is layered on top and backend-agnostic.
+
+    ``PosixCommitProtocol`` (default) implements it with
+    O_CREAT|O_EXCL + fsync + hard link — valid on any POSIX
+    filesystem, NOT on S3. An object-store deployment substitutes one
+    of (all industry-standard, none available in this sandbox):
+
+    - conditional PUT (S3 ``If-None-Match: *``, GCS
+      ``x-goods-if-generation-match: 0`` analog) — same contract;
+    - a catalog/locking service holding the latest-version pointer
+      (Iceberg's REST catalog or DynamoDB commit lock — the
+      reference's own committer goes through a catalog,
+      radiant/tasks/iceberg/utils.py:61-96).
+
+    ``list_names`` must be strongly consistent for correctness of
+    ``latest_version`` (S3 LIST is strongly consistent since 2020)."""
+
+    def publish(self, target: str, data: bytes) -> None:
+        """Atomically create ``target`` with ``data``; raise
+        FileExistsError if it already exists (the commit race)."""
+        raise NotImplementedError
+
+    def read(self, target: str) -> str:
+        raise NotImplementedError
+
+    def list_names(self, directory: str) -> list[str]:
+        raise NotImplementedError
+
+
+class PosixCommitProtocol(CommitProtocol):
+    def publish(self, target: str, data: bytes) -> None:
+        tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            off = 0
+            while off < len(data):
+                off += os.write(fd, data[off:])
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, target)  # atomic; FileExistsError on race
+        finally:
+            os.unlink(tmp)
+
+    def read(self, target: str) -> str:
+        with open(target) as fh:
+            return fh.read()
+
+    def list_names(self, directory: str) -> list[str]:
+        return os.listdir(directory)
 
 
 class ConcurrentModification(RuntimeError):
@@ -139,11 +199,12 @@ def _file_may_match(stat_entry: dict[str, Any], skip: dict[str, tuple]) -> bool:
     return True
 
 
-def _versions(path: str) -> list[int]:
+def _versions(path: str, protocol: "CommitProtocol | None" = None) -> list[int]:
     """Sorted snapshot version numbers present in the log."""
     log = os.path.join(path, _LOG_DIR)
+    names = protocol.list_names(log) if protocol is not None else os.listdir(log)
     out = []
-    for f in os.listdir(log):
+    for f in names:
         if f.startswith("v") and f.endswith(".json"):
             try:
                 out.append(int(f[1:-5]))
@@ -202,9 +263,15 @@ def _version_path(root: str, version: int) -> str:
 class LakeTable:
     """A named transactional table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        commit_protocol: CommitProtocol | None = None,
+    ):
         self.spark = spark
         self.path = path
+        self.commit_protocol = commit_protocol or PosixCommitProtocol()
         # partitions touched by this instance's most recent data commit
         self.last_commit_partitions: list[str] = []
 
@@ -241,36 +308,27 @@ class LakeTable:
     # ---------------------------------------------------------- snapshots
 
     def latest_version(self) -> int:
-        versions = _versions(self.path)
+        versions = _versions(self.path, self.commit_protocol)
         if not versions:
             raise FileNotFoundError(f"no snapshots under {self.path}")
         return versions[-1]
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
-        with open(_version_path(self.path, v)) as fh:
-            return Snapshot.from_json(fh.read())
+        return Snapshot.from_json(
+            self.commit_protocol.read(_version_path(self.path, v))
+        )
 
     def _write_version(self, snap: Snapshot) -> None:
-        """Atomically create the version file; raises FileExistsError on
-        race. The content is fully written + fsynced to a temp file
-        FIRST, then hard-linked to the final name — a concurrent reader
-        can never observe a truncated manifest."""
-        target = _version_path(self.path, snap.version)
-        tmp = f"{target}.tmp-{uuid.uuid4().hex}"
-        data = snap.to_json().encode()
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            off = 0
-            while off < len(data):
-                off += os.write(fd, data[off:])
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        try:
-            os.link(tmp, target)  # atomic; FileExistsError on race
-        finally:
-            os.unlink(tmp)
+        """Atomically publish the version file through the commit
+        protocol; raises FileExistsError on race. The POSIX protocol
+        writes + fsyncs a temp file FIRST, then hard-links it to the
+        final name — a concurrent reader can never observe a truncated
+        manifest; an object-store protocol gets the same guarantee from
+        conditional PUT (see CommitProtocol)."""
+        self.commit_protocol.publish(
+            _version_path(self.path, snap.version), snap.to_json().encode()
+        )
 
     # ------------------------------------------------------------- reads
 

@@ -550,6 +550,57 @@ def q19_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def sequential_ids(
+    df: DataFrame, order_col: str, id_col: str = "_seq", n_ranges: int = 32
+) -> DataFrame:
+    """Dense 1..N numbering in ``order_col`` order WITHOUT the
+    single-partition global-sort window: range-partition on the order
+    column, rank locally per partition (window partitioned by the
+    physical partition id — full parallelism), then shift each
+    partition by the cumulative count of the partitions before it.
+    The only driver-side data is one row count PER PARTITION
+    (O(n_ranges), never O(rows)). ``order_col`` values must be unique
+    for a deterministic assignment. This is the zipWithIndex shape in
+    pure DataFrame ops — the scalable form of the reference's
+    AUTO_INCREMENT id fallback."""
+    ranged = df.repartitionByRange(n_ranges, F.col(order_col)).localCheckpoint(
+        eager=True  # pin the range-sampler's partitioning for both passes
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    omap = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return with_pid.withColumn(
+        id_col, (F.row_number().over(w) + omap[F.col("_pid")]).cast("long")
+    ).drop("_pid")
+
+
+@query(
+    "q20b_sequential_ids_scalable",
+    oracle="""
+    SELECT MD5(p_name) AS part_hash,
+           ROW_NUMBER() OVER (ORDER BY MD5(p_name)) AS seq_id
+    FROM part
+    """,
+)
+def q20b_sequential_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable sequential-id operator itself, oracle-checked
+    against the serial ROW_NUMBER definition: range partition + local
+    rank + per-partition offsets — no global-sort single task."""
+    p = load_table(spark, sf_dir, "part")
+    hashes = p.select(F.md5(F.col("p_name")).alias("part_hash"))
+    return sequential_ids(hashes, "part_hash", id_col="seq_id")
+
+
 @query(
     "q20_surrogate_id_assignment",
     oracle="""
@@ -568,11 +619,12 @@ def q19_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_surrogate_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/§1.4: surrogate-id assignment — anti-join unseen hashes, then
-    max(existing)+row_number, the reference's AUTO_INCREMENT lookup
-    fallback (variant_lookup_insert_hashes.sql:1-6,
-    init/variant_lookup_create_table.sql:174-180). The global
-    row_number is the known serial bottleneck — at scale the engine
-    prefers deterministic hash ids (xxhash64), registered separately."""
+    max(existing) + dense numbering, the reference's AUTO_INCREMENT
+    lookup fallback (variant_lookup_insert_hashes.sql:1-6,
+    init/variant_lookup_create_table.sql:174-180). Numbering uses the
+    range-partitioned two-pass ``sequential_ids`` (no single-partition
+    global window); deterministic hash ids (xxhash64) remain the
+    preferred zero-coordination form, registered via part_expr/q03."""
     p = load_table(spark, sf_dir, "part")
     existing = p.filter(F.col("p_partkey") <= 100).select(
         F.md5(F.col("p_name")).alias("part_hash"), F.col("p_partkey").alias("part_id")
@@ -581,11 +633,12 @@ def q20_surrogate_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("p_name")).alias("part_hash")
     )
     mx = existing.agg(F.max("part_id").alias("max_id"))
-    w = Window.orderBy("part_hash")
     assigned = (
-        unseen.crossJoin(F.broadcast(mx))
-        .withColumn("part_id", F.col("max_id") + F.row_number().over(w))
-        .select("part_hash", "part_id")
+        sequential_ids(unseen, "part_hash", id_col="_seq")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "part_hash", (F.col("max_id") + F.col("_seq")).alias("part_id")
+        )
     )
     return existing.unionByName(assigned)
 

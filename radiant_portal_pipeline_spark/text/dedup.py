@@ -48,10 +48,13 @@ def exact_jaccard_pairs(
     double division is engine-identical."""
     sh = word_shingles(docs, k=k)
     if max_shingle_freq is not None:
+        # materialize BEFORE the frequency pass: freq + semi-join are
+        # two consumers, and without this the tokenization runs twice
+        sh = sh.localCheckpoint(eager=True)
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-    # the shingle set feeds three plan branches (sizes + both join
-    # sides); materialize once instead of recomputing the tokenization
+    # the (capped) shingle set feeds three plan branches (sizes + both
+    # join sides); materialize once instead of recomputing per branch
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")

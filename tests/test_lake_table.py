@@ -145,3 +145,55 @@ def test_stats_follow_partition_replace(spark, tmp_path):
     # untouched partition's stats retained
     assert set(snap.stats.keys()) == {f for fs in snap.files.values() for f in fs}
     assert old_files - set(snap.stats.keys())  # something was dropped
+
+
+def test_custom_commit_protocol_seam(spark, tmp_path):
+    """The transactional layer runs unchanged over a non-POSIX commit
+    backend — here an in-memory conditional-PUT double (the S3/catalog
+    deployment shape documented on CommitProtocol)."""
+    from radiant_portal_pipeline_spark.lake.table import CommitProtocol, LakeTable
+
+    class MemoryPut(CommitProtocol):
+        def __init__(self):
+            self.blobs: dict[str, bytes] = {}
+
+        def publish(self, target, data):
+            if target in self.blobs:
+                raise FileExistsError(target)  # conditional PUT failed
+            self.blobs[target] = data
+
+        def read(self, target):
+            return self.blobs[target].decode()
+
+        def list_names(self, directory):
+            import os
+
+            return [
+                os.path.basename(k)
+                for k in self.blobs
+                if os.path.dirname(k) == directory
+            ]
+
+    proto = MemoryPut()
+    path = str(tmp_path / "t")
+    # create() writes v0 through the instance's protocol
+    import os
+
+    os.makedirs(os.path.join(path, "_log"), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    tbl = LakeTable(spark, path, commit_protocol=proto)
+    from radiant_portal_pipeline_spark.lake.table import Snapshot
+
+    tbl._write_version(
+        Snapshot(version=0, schema=SCHEMA, partition_col="part", files={})
+    )
+    tbl.append(_df(spark, [("a", 1, 0)]))
+    # no version files on the real filesystem — all in the backend
+    assert not any(f.endswith(".json") for f in os.listdir(os.path.join(path, "_log")))
+    reader = LakeTable(spark, path, commit_protocol=proto)
+    assert [tuple(r) for r in reader.read().collect()] == [("a", 1, 0)]
+    # losing a conditional PUT race surfaces as FileExistsError -> retried
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        proto.publish(list(proto.blobs)[0], b"x")
