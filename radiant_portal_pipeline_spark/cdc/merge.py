@@ -120,11 +120,16 @@ class TranscriptMergeEngine:
             path,
             S.sink_schema(),
             partition_col=S.PART_COL,
-            # manifest min/max stats for the scan-pruning columns: an
-            # lsn/ts/turn-range read opens only intersecting files
+            # manifest min/max stats for the scan-pruning columns (an
+            # lsn/ts/turn-range read opens only intersecting files) +
+            # split manifests (per-bucket content-addressed blobs:
+            # commits rewrite O(touched buckets) manifest bytes, pruned
+            # reads load only their buckets' manifests — the layout
+            # that survives 10^6 files)
             properties={
                 "num_buckets": num_buckets,
                 "stats_cols": [S.LSN_COL, "turn_idx", "ts"],
+                "manifest_split": True,
             },
         )
 

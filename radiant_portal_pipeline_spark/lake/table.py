@@ -4,8 +4,12 @@ The image has no Iceberg/Delta runtime jar, so the engine ships its own
 minimal table format with the same *semantics* the reference relies on:
 
 - snapshot isolation via an append-only log of immutable version files
-  (``_log/v%012d.json``), each a FULL snapshot manifest (file list per
-  partition) so reads are O(1) — no log replay;
+  (``_log/v%012d.json``) — no log replay. Two manifest layouts: FULL
+  inline snapshot (default; fine to ~10^5 file entries) or the
+  Iceberg-style **manifest-list split** (``manifest_split`` property):
+  per-partition content-addressed blobs under ``_log/manifests/``, so
+  a commit rewrites O(touched partitions) manifest bytes and a pruned
+  read loads only its partitions' blobs (see Snapshot docstring);
 - atomic commits through a pluggable ``CommitProtocol`` (create-if-
   absent of the next version file; POSIX ``O_CREAT|O_EXCL`` default,
   object-store variants documented on the class); losers re-read the
@@ -29,10 +33,10 @@ minimal table format with the same *semantics* the reference relies on:
 Scale notes (100 TB / 1000 executors):
 - Data files are written by Spark executors in parallel
   (``partitionBy`` layout); only the manifest swap is driver-side.
-- A full-snapshot JSON manifest holds ~10^5-10^6 file entries in tens
-  of MB; beyond that the format would split manifests per partition
-  range (Iceberg's manifest-list) — noted as the upgrade path, not
-  needed for correctness.
+- The inline manifest holds ~10^5 file entries comfortably; the split
+  layout (used by the CDC sink) scales past that: manifest write cost
+  per commit is O(touched partitions), read cost follows pruning, and
+  compaction bounds files/bucket so each blob stays small.
 - Partition values are hash buckets of the merge key, so commit
   conflicts between writers of disjoint buckets rebase cleanly.
 """
@@ -45,7 +49,6 @@ import random
 import shutil
 import time
 import uuid
-from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -213,46 +216,124 @@ def _versions(path: str, protocol: "CommitProtocol | None" = None) -> list[int]:
     return sorted(out)
 
 
-@dataclass
 class Snapshot:
-    version: int
-    schema: T.StructType
-    partition_col: str
-    files: dict[str, list[str]]  # partition value (as str) -> relative file paths
-    applied: dict[str, int] = field(default_factory=dict)
-    properties: dict[str, Any] = field(default_factory=dict)
-    # per-file column statistics for scan-time file skipping (Iceberg's
-    # column metrics; reference collects them on every write,
-    # radiant/tasks/iceberg/utils.py:196-243):
-    #   {rel_path: {"_bytes": int, col: [min, max], ...}}
-    # min/max are JSON-safe (timestamps as ISO strings). Only columns
-    # listed in properties["stats_cols"] are collected.
-    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    """A table version. Two serialized layouts:
+
+    - **inline** (default): the version file carries the full
+      ``{partition -> file list}`` and per-file stats. Simple, one
+      read per snapshot; rewritten whole per commit — fine to ~10^5
+      file entries.
+    - **split** (``properties["manifest_split"] = true`` — Iceberg's
+      manifest-list): the version file carries only
+      ``refs: {partition -> content-hash}`` pointing at immutable
+      per-partition manifest blobs under ``_log/manifests/``. A commit
+      writes blobs ONLY for partitions it touched (unchanged
+      partitions keep their hash — same content, same name, no write),
+      so commit cost is O(touched), not O(table); a partition-pruned
+      read loads only the requested partitions' blobs. ``files`` /
+      ``stats`` materialize lazily (and fully) for consumers that want
+      the whole map — the commit and pruned-read paths never do.
+    """
+
+    def __init__(
+        self,
+        version: int,
+        schema: T.StructType,
+        partition_col: str,
+        files: dict[str, list[str]] | None = None,
+        applied: dict[str, int] | None = None,
+        properties: dict[str, Any] | None = None,
+        stats: dict[str, dict[str, Any]] | None = None,
+        refs: dict[str, str] | None = None,
+        blob_loader=None,
+    ):
+        self.version = version
+        self.schema = schema
+        self.partition_col = partition_col
+        self.applied = applied or {}
+        self.properties = properties or {}
+        self.refs = refs  # split mode iff not None
+        self._blob_loader = blob_loader  # name -> {"files": [...], "stats": {...}}
+        self._files = files
+        self._stats = stats
+        if refs is None:
+            self._files = files or {}
+            self._stats = stats or {}
+
+    # --- lazy full materialization (split mode only pays when asked)
+
+    def _materialize(self) -> None:
+        if self._files is not None:
+            return
+        files: dict[str, list[str]] = {}
+        stats: dict[str, dict[str, Any]] = {}
+        for pv, name in (self.refs or {}).items():
+            blob = self._blob_loader(name)
+            files[pv] = list(blob["files"])
+            stats.update(blob.get("stats", {}))
+        self._files, self._stats = files, stats
+
+    @property
+    def files(self) -> dict[str, list[str]]:
+        """partition value (as str) -> relative file paths."""
+        self._materialize()
+        return self._files
+
+    @property
+    def stats(self) -> dict[str, dict[str, Any]]:
+        """per-file column statistics for scan-time file skipping
+        (Iceberg's column metrics; reference collects them on every
+        write, radiant/tasks/iceberg/utils.py:196-243):
+        ``{rel_path: {"_bytes": int, col: [min, max], ...}}`` —
+        min/max JSON-safe (timestamps as ISO strings); only columns in
+        ``properties["stats_cols"]`` are collected."""
+        self._materialize()
+        return self._stats
+
+    def part_entry(self, pv: str) -> tuple[list[str], dict[str, dict[str, Any]]]:
+        """(files, stats) of ONE partition — in split mode this loads
+        only that partition's blob."""
+        if self.refs is not None and self._files is None:
+            name = self.refs.get(pv)
+            if name is None:
+                return [], {}
+            blob = self._blob_loader(name)
+            return list(blob["files"]), dict(blob.get("stats", {}))
+        return list(self.files.get(pv, [])), {
+            f: self.stats[f] for f in self.files.get(pv, []) if f in self.stats
+        }
+
+    def partition_values(self) -> list[str]:
+        return sorted(self.refs.keys() if self.refs is not None else self.files.keys())
 
     def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "schema": self.schema.json(),
-                "partition_col": self.partition_col,
-                "files": self.files,
-                "applied": self.applied,
-                "properties": self.properties,
-                "stats": self.stats,
-            }
-        )
+        d = {
+            "version": self.version,
+            "schema": self.schema.json(),
+            "partition_col": self.partition_col,
+            "applied": self.applied,
+            "properties": self.properties,
+        }
+        if self.refs is not None:
+            d["refs"] = self.refs
+        else:
+            d["files"] = self._files
+            d["stats"] = self._stats
+        return json.dumps(d)
 
     @staticmethod
-    def from_json(raw: str) -> "Snapshot":
+    def from_json(raw: str, blob_loader=None) -> "Snapshot":
         d = json.loads(raw)
         return Snapshot(
             version=d["version"],
             schema=T.StructType.fromJson(json.loads(d["schema"])),
             partition_col=d["partition_col"],
-            files=d["files"],
+            files=d.get("files"),
             applied=d.get("applied", {}),
             properties=d.get("properties", {}),
             stats=d.get("stats", {}),
+            refs=d.get("refs"),
+            blob_loader=blob_loader,
         )
 
 
@@ -274,6 +355,35 @@ class LakeTable:
         self.commit_protocol = commit_protocol or PosixCommitProtocol()
         # partitions touched by this instance's most recent data commit
         self.last_commit_partitions: list[str] = []
+        self._blob_cache: dict[str, dict] = {}  # manifest blobs are immutable
+
+    # ------------------------------------------- split-manifest blobs
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.path, _LOG_DIR, "manifests", name)
+
+    def _write_blob(self, content: dict) -> str:
+        """Content-addressed immutable manifest blob: same content →
+        same name → an untouched partition is never rewritten."""
+        import hashlib
+
+        data = json.dumps(content, sort_keys=True).encode()
+        name = f"m-{hashlib.sha1(data).hexdigest()}.json"
+        target = self._manifest_path(name)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        try:
+            self.commit_protocol.publish(target, data)
+        except FileExistsError:
+            pass  # identical content already published
+        self._blob_cache[name] = content
+        return name
+
+    def _load_blob(self, name: str) -> dict:
+        blob = self._blob_cache.get(name)
+        if blob is None:
+            blob = json.loads(self.commit_protocol.read(self._manifest_path(name)))
+            self._blob_cache[name] = blob
+        return blob
 
     # ---------------------------------------------------------------- DDL
 
@@ -289,12 +399,14 @@ class LakeTable:
             raise ValueError(f"partition column {partition_col!r} not in schema")
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        props = properties or {}
         snap = Snapshot(
             version=0,
             schema=schema,
             partition_col=partition_col,
-            files={},
-            properties=properties or {},
+            files=None if props.get("manifest_split") else {},
+            refs={} if props.get("manifest_split") else None,
+            properties=props,
         )
         tbl = LakeTable(spark, path)
         tbl._write_version(snap)
@@ -316,7 +428,8 @@ class LakeTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.latest_version() if version is None else version
         return Snapshot.from_json(
-            self.commit_protocol.read(_version_path(self.path, v))
+            self.commit_protocol.read(_version_path(self.path, v)),
+            blob_loader=self._load_blob,
         )
 
     def _write_version(self, snap: Snapshot) -> None:
@@ -354,17 +467,34 @@ class LakeTable:
         lsn/ts-range read (reference: min/max scan pruning over Iceberg
         column metrics, SURVEY.md X8/X12)."""
         snap = self.snapshot(version)
-        if partitions is None:
-            rel = [f for fs in snap.files.values() for f in fs]
-        else:
-            wanted = {str(p) for p in partitions}
-            rel = [f for pv, fs in snap.files.items() if pv in wanted for f in fs]
-        if skip:
-            rel = [f for f in rel if _file_may_match(snap.stats.get(f, {}), skip)]
+        rel = self._select_files(snap, partitions, skip)
         if not rel:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.path, f) for f in rel]
         return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def _select_files(
+        self,
+        snap: Snapshot,
+        partitions: list[Any] | None,
+        skip: dict[str, tuple] | None,
+    ) -> list[str]:
+        """File selection with partition pruning + stats skipping. In
+        split-manifest layout a PRUNED selection loads only the
+        requested partitions' manifest blobs — the whole point of the
+        manifest-list at 10^6+ files."""
+        if partitions is None:
+            wanted = snap.partition_values()
+        else:
+            w = {str(p) for p in partitions}
+            wanted = [pv for pv in snap.partition_values() if pv in w]
+        rel: list[str] = []
+        for pv in wanted:
+            fs, st = snap.part_entry(pv)
+            if skip:
+                fs = [f for f in fs if _file_may_match(st.get(f, {}), skip)]
+            rel.extend(fs)
+        return rel
 
     def live_files(
         self,
@@ -373,18 +503,10 @@ class LakeTable:
     ) -> list[str]:
         """The relative file list a read() with the same arguments would
         scan — lets tests and planners assert file-skipping directly."""
-        snap = self.snapshot()
-        if partitions is None:
-            rel = [f for fs in snap.files.values() for f in fs]
-        else:
-            wanted = {str(p) for p in partitions}
-            rel = [f for pv, fs in snap.files.items() if pv in wanted for f in fs]
-        if skip:
-            rel = [f for f in rel if _file_may_match(snap.stats.get(f, {}), skip)]
-        return sorted(rel)
+        return sorted(self._select_files(self.snapshot(), partitions, skip))
 
     def partitions(self) -> list[str]:
-        return sorted(self.snapshot().files.keys())
+        return self.snapshot().partition_values()
 
     # ------------------------------------------------------------ writes
 
@@ -455,11 +577,13 @@ class LakeTable:
     ) -> Snapshot | None:
         """Optimistic-concurrency commit loop.
 
-        ``mutate(snapshot) -> (files, schema, stats)`` computes the next
-        manifest from the freshest snapshot; on a version-file race we
-        re-read and re-apply — partition-level changes rebase cleanly
-        (reference: radiant/tasks/iceberg/utils.py:73-96 rebuilds the
-        transaction against a fresh snapshot the same way).
+        ``mutate(snapshot) -> {"schema": ..., "files": ..., "stats":
+        ...}`` (inline layout) or ``{"schema": ..., "refs": ...}``
+        (split layout) computes the next manifest from the freshest
+        snapshot; on a version-file race we re-read and re-apply —
+        partition-level changes rebase cleanly (reference:
+        radiant/tasks/iceberg/utils.py:73-96 rebuilds the transaction
+        against a fresh snapshot the same way).
 
         Returns the committed snapshot, or None when the epoch guard
         made the commit a no-op (already applied — exactly-once replay).
@@ -472,18 +596,20 @@ class LakeTable:
                 and snap.applied.get(source_id, -1) >= epoch
             ):
                 return None
-            files, schema, stats = mutate(snap)
+            nxt_parts = mutate(snap)
             applied = dict(snap.applied)
             if source_id is not None and epoch is not None:
                 applied[source_id] = epoch
             nxt = Snapshot(
                 version=snap.version + 1,
-                schema=schema,
+                schema=nxt_parts["schema"],
                 partition_col=snap.partition_col,
-                files=files,
+                files=nxt_parts.get("files"),
                 applied=applied,
                 properties=snap.properties,
-                stats=stats,
+                stats=nxt_parts.get("stats"),
+                refs=nxt_parts.get("refs"),
+                blob_loader=self._load_blob,
             )
             try:
                 self._write_version(nxt)
@@ -562,11 +688,34 @@ class LakeTable:
             stat_cols=snap0.properties.get("stats_cols"),
         )
 
-        def mutate(snap: Snapshot):
-            files = {k: list(v) for k, v in snap.files.items()}
-            for pv, fs in new_files.items():
-                files.setdefault(pv, []).extend(fs)
-            return files, self._evolved_schema(snap, df), {**snap.stats, **new_stats}
+        if snap0.refs is not None:  # split layout: touch O(batch) blobs only
+
+            def mutate(snap: Snapshot):
+                refs = dict(snap.refs)
+                for pv, fs in new_files.items():
+                    old_files, old_stats = snap.part_entry(pv)
+                    refs[pv] = self._write_blob(
+                        {
+                            "files": old_files + fs,
+                            "stats": {
+                                **old_stats,
+                                **{f: new_stats[f] for f in fs},
+                            },
+                        }
+                    )
+                return {"schema": self._evolved_schema(snap, df), "refs": refs}
+
+        else:
+
+            def mutate(snap: Snapshot):
+                files = {k: list(v) for k, v in snap.files.items()}
+                for pv, fs in new_files.items():
+                    files.setdefault(pv, []).extend(fs)
+                return {
+                    "schema": self._evolved_schema(snap, df),
+                    "files": files,
+                    "stats": {**snap.stats, **new_stats},
+                }
 
         out = self._commit(mutate, source_id=source_id, epoch=epoch)
         self.last_commit_partitions = sorted(new_files.keys())
@@ -608,28 +757,56 @@ class LakeTable:
             stat_cols=snap0.properties.get("stats_cols"),
         )
         replaced = set(new_files.keys()) | {str(p) for p in (also_replace or [])}
-        expected = {p: list(snap0.files.get(p, [])) for p in replaced}
 
-        def mutate(snap: Snapshot):
-            for p in replaced:
-                if snap.files.get(p, []) != expected[p]:
-                    raise ConcurrentModification(
-                        f"partition {p!r} changed concurrently; recompute "
-                        f"from a fresh snapshot before replacing it"
+        if snap0.refs is not None:  # split layout
+            # blob names are content hashes, so ref equality IS file-list
+            # equality — conflict validation never loads untouched blobs
+            expected_refs = {p: snap0.refs.get(p) for p in replaced}
+
+            def mutate(snap: Snapshot):
+                for p in replaced:
+                    if snap.refs.get(p) != expected_refs[p]:
+                        raise ConcurrentModification(
+                            f"partition {p!r} changed concurrently; recompute "
+                            f"from a fresh snapshot before replacing it"
+                        )
+                refs = {k: v for k, v in snap.refs.items() if k not in replaced}
+                for pv, fs in new_files.items():
+                    refs[pv] = self._write_blob(
+                        {
+                            "files": list(fs),
+                            "stats": {f: new_stats[f] for f in fs},
+                        }
                     )
-            files = {
-                k: list(v) for k, v in snap.files.items() if k not in replaced
-            }
-            dropped = {
-                f for p in replaced for f in snap.files.get(p, [])
-            }
-            for pv, fs in new_files.items():
-                files[pv] = list(fs)
-            stats = {
-                k: v for k, v in snap.stats.items() if k not in dropped
-            }
-            stats.update(new_stats)
-            return files, self._evolved_schema(snap, df), stats
+                return {"schema": self._evolved_schema(snap, df), "refs": refs}
+
+        else:
+            expected = {p: list(snap0.files.get(p, [])) for p in replaced}
+
+            def mutate(snap: Snapshot):
+                for p in replaced:
+                    if snap.files.get(p, []) != expected[p]:
+                        raise ConcurrentModification(
+                            f"partition {p!r} changed concurrently; recompute "
+                            f"from a fresh snapshot before replacing it"
+                        )
+                files = {
+                    k: list(v) for k, v in snap.files.items() if k not in replaced
+                }
+                dropped = {
+                    f for p in replaced for f in snap.files.get(p, [])
+                }
+                for pv, fs in new_files.items():
+                    files[pv] = list(fs)
+                stats = {
+                    k: v for k, v in snap.stats.items() if k not in dropped
+                }
+                stats.update(new_stats)
+                return {
+                    "schema": self._evolved_schema(snap, df),
+                    "files": files,
+                    "stats": stats,
+                }
 
         out = self._commit(mutate, source_id=source_id, epoch=epoch)
         self.last_commit_partitions = sorted(replaced)
@@ -646,7 +823,13 @@ class LakeTable:
             for f in fields:
                 if f.name not in names:
                     out.append(T.StructField(f.name, f.dataType, nullable=True))
-            return snap.files, T.StructType(out), snap.stats
+            if snap.refs is not None:
+                return {"schema": T.StructType(out), "refs": snap.refs}
+            return {
+                "schema": T.StructType(out),
+                "files": snap.files,
+                "stats": snap.stats,
+            }
 
         snap = self._commit(mutate)
         assert snap is not None
@@ -672,12 +855,21 @@ class LakeTable:
         Hadoop .crc droppings, which would otherwise keep one directory
         tree alive per commit forever. Single-writer maintenance op.
         Returns the number of parquet data files removed."""
+        snaps = [self.snapshot(v) for v in _versions(self.path)]
         live = {
             os.path.normpath(f)
-            for v in _versions(self.path)
-            for fs in self.snapshot(v).files.values()
+            for s in snaps
+            for fs in s.files.values()
             for f in fs
         }
+        # GC manifest blobs not referenced by any remaining version
+        live_blobs = {n for s in snaps if s.refs for n in s.refs.values()}
+        mdir = os.path.join(self.path, _LOG_DIR, "manifests")
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if fn.endswith(".json") and fn not in live_blobs:
+                    os.remove(os.path.join(mdir, fn))
+                    self._blob_cache.pop(fn, None)
         live_commit_dirs = {os.path.normpath(f).split(os.sep)[1] for f in live}
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)

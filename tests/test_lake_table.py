@@ -197,3 +197,90 @@ def test_custom_commit_protocol_seam(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         proto.publish(list(proto.blobs)[0], b"x")
+
+
+# ------------------------------------------------- split-manifest layout
+
+
+def _split_tbl(spark, tmp_path, name="ts"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), SCHEMA, "part",
+        properties={"manifest_split": True, "stats_cols": ["v"]},
+    )
+
+
+def test_split_manifest_roundtrip_and_blob_reuse(spark, tmp_path):
+    """Iceberg-style manifest-list: the version file carries only
+    per-partition content-hash refs; a commit touching one bucket
+    reuses every other bucket's blob (same hash, no rewrite)."""
+    import os
+
+    tbl = _split_tbl(spark, tmp_path)
+    tbl.append(_df(spark, [("a", 1, 0), ("b", 2, 1), ("c", 3, 2)]))
+    snap1 = tbl.snapshot()
+    assert snap1.refs is not None and set(snap1.refs) == {"0", "1", "2"}
+    # rows read back identical through lazy materialization
+    assert {tuple(r) for r in tbl.read().collect()} == {
+        ("a", 1, 0), ("b", 2, 1), ("c", 3, 2)
+    }
+    tbl.append(_df(spark, [("a2", 10, 0)]))
+    snap2 = tbl.snapshot()
+    # untouched partitions keep the SAME blob name; touched one changed
+    assert snap2.refs["1"] == snap1.refs["1"]
+    assert snap2.refs["2"] == snap1.refs["2"]
+    assert snap2.refs["0"] != snap1.refs["0"]
+    # version file itself contains no file lists
+    import json
+
+    raw = json.loads(open(
+        os.path.join(str(tmp_path / "ts"), "_log",
+                     f"v{snap2.version:012d}.json")).read())
+    assert "files" not in raw and "refs" in raw
+
+
+def test_split_manifest_pruned_read_loads_only_needed_blobs(spark, tmp_path):
+    tbl = _split_tbl(spark, tmp_path)
+    tbl.append(_df(spark, [("a", 1, 0), ("b", 2, 1), ("c", 3, 2)]))
+    fresh = LakeTable(spark, tbl.path)  # cold blob cache
+    assert {r["k"] for r in fresh.read(partitions=[1]).collect()} == {"b"}
+    snap = fresh.snapshot()
+    loaded = set(fresh._blob_cache.keys())
+    assert snap.refs["1"] in loaded
+    assert snap.refs["0"] not in loaded and snap.refs["2"] not in loaded
+    # stats skipping works through part_entry too
+    assert fresh.live_files(partitions=[1], skip={"v": (100, None)}) == []
+
+
+def test_split_manifest_overwrite_replace_and_conflict(spark, tmp_path):
+    import pytest
+
+    from radiant_portal_pipeline_spark.lake.table import ConcurrentModification
+
+    tbl = _split_tbl(spark, tmp_path)
+    tbl.append(_df(spark, [("a", 1, 0), ("b", 2, 1)]))
+    base = tbl.snapshot().version
+    tbl.overwrite_partitions(_df(spark, [("a2", 5, 0)]))
+    assert {tuple(r) for r in tbl.read().collect()} == {("a2", 5, 0), ("b", 2, 1)}
+    # replace computed from the stale base aborts (partition 0 changed)
+    with pytest.raises(ConcurrentModification):
+        tbl.overwrite_partitions(
+            _df(spark, [("a3", 6, 0)]), base_version=base
+        )
+    # epoch guard + exactly-once still hold in split mode
+    tbl.append(_df(spark, [("d", 7, 1)]), source_id="s", epoch=3)
+    assert tbl.append(_df(spark, [("dup", 8, 1)]), source_id="s", epoch=3) is None
+
+
+def test_split_manifest_vacuum_gcs_blobs(spark, tmp_path):
+    import os
+
+    tbl = _split_tbl(spark, tmp_path)
+    tbl.append(_df(spark, [("a", 1, 0)]))
+    tbl.overwrite_partitions(_df(spark, [("a2", 2, 0)]))
+    mdir = os.path.join(tbl.path, "_log", "manifests")
+    n_before = len(os.listdir(mdir))
+    tbl.expire_snapshots(keep_last=1)
+    tbl.vacuum()
+    n_after = len(os.listdir(mdir))
+    assert n_after < n_before  # v1's blob collected
+    assert {tuple(r) for r in tbl.read().collect()} == {("a2", 2, 0)}
