@@ -1,0 +1,79 @@
+"""REAL (dependency-free) media container parsing for the multimodal
+path: RIFF/WAVE and BMP headers via ``struct`` — these formats need no
+codec library, so unlike the compressed-format decode (which stays a
+declared stub, binary.py), this is a production parser running inside
+the Arrow-batched ``mapInPandas`` flow.
+
+The synthesizers exist because the sandbox testdata has no media
+payloads: they build byte-exact container headers from per-doc
+parameters (bodies truncated — header parsing never reads sample
+data). The PARSERS are format-faithful: chunk-walking RIFF, offset
+reads per the BITMAPINFOHEADER layout; they would accept real files.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+# ------------------------------------------------------------------ WAV
+
+
+def synth_wav(n_frames: int, sample_rate: int, n_channels: int, bits: int = 16) -> bytes:
+    """Minimal canonical RIFF/WAVE: fmt chunk + data chunk header
+    (body truncated to 64 bytes — header fields carry the truth)."""
+    data_len = n_frames * n_channels * (bits // 8)
+    byte_rate = sample_rate * n_channels * (bits // 8)
+    block_align = n_channels * (bits // 8)
+    riff = b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align, bits
+    )
+    data = b"data" + struct.pack("<I", data_len) + bytes(min(data_len, 64))
+    return riff + fmt + data
+
+
+def parse_wav(b: bytes) -> dict:
+    """Chunk-walking RIFF parser (the real thing — works on actual
+    .wav files): finds fmt/data chunks wherever they sit."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, out = 12, {}
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            _tag, ch, sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+            out.update(n_channels=ch, sample_rate=sr, bits=bits)
+        elif cid == b"data":
+            out["data_bytes"] = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if "sample_rate" not in out or "data_bytes" not in out:
+        raise ValueError("missing fmt/data chunk")
+    out["n_frames"] = out["data_bytes"] // (out["n_channels"] * out["bits"] // 8)
+    return out
+
+
+# ------------------------------------------------------------------ BMP
+
+
+def synth_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (pixel array
+    truncated)."""
+    row_bytes = (width * (bpp // 8) + 3) // 4 * 4
+    img_size = row_bytes * height
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + bytes(min(img_size, 64))
+
+
+def parse_bmp(b: bytes) -> dict:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    return {"width": width, "height": abs(height), "bpp": bpp}

@@ -33,3 +33,106 @@ def m_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (decode stubbed; plumbing real — see multimodal/binary.py)."""
     d = load_table(spark, sf_dir, "documents")
     return extract_media_metadata(to_binary_docs(d))
+
+
+@query(
+    "m_codec_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS kind,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 317 + 1 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 211 + 1 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          ELSE 44100 END AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS n_channels,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 1000 + 1 AS INTEGER) END AS n_frames,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((doc_id % 1000 + 1) * 1000 //
+                          (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           ELSE 44100 END) AS BIGINT) END AS duration_ms
+    FROM documents
+    """,
+)
+def m_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container parsing inside the multimodal flow: per doc a
+    byte-exact WAV or BMP payload is synthesized (params derived from
+    doc_id — the sandbox has no media files), then parsed back by
+    format-faithful RIFF chunk-walk / BITMAPINFOHEADER readers
+    (multimodal/codecs.py) in one Arrow-batched mapInPandas pass. The
+    oracle recomputes the expected metadata arithmetically — any parser
+    or plumbing error diverges the hash. Unlike m_media_metadata's
+    declared stub, nothing here is faked except the payload source."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def batches(it):
+        rates = [8000, 16000, 44100]
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = C.synth_wav(
+                        n_frames=d % 1000 + 1,
+                        sample_rate=rates[d % 3],
+                        n_channels=d % 2 + 1,
+                    )
+                    meta = C.parse_wav(payload)
+                    rows.append(
+                        (
+                            d,
+                            "audio/wav",
+                            None,
+                            None,
+                            meta["sample_rate"],
+                            meta["n_channels"],
+                            meta["n_frames"],
+                            meta["n_frames"] * 1000 // meta["sample_rate"],
+                        )
+                    )
+                else:
+                    payload = C.synth_bmp(width=d % 317 + 1, height=d % 211 + 1)
+                    meta = C.parse_bmp(payload)
+                    rows.append(
+                        (
+                            d,
+                            "image/bmp",
+                            meta["width"],
+                            meta["height"],
+                            None,
+                            None,
+                            None,
+                            None,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "width", "height", "sample_rate",
+                    "n_channels", "n_frames", "duration_ms",
+                ],
+            )
+            for c in ("width", "height", "sample_rate", "n_channels", "n_frames"):
+                out[c] = out[c].astype("Int32")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(batches, schema=schema)

@@ -166,3 +166,20 @@ def test_ivf_indexed_path_prunes_files_and_matches_onthefly(spark, sf_correct, t
         tuple(r) for r in ann.ivf_topk(emb, cents, qvec, k=10, n_probes=2).collect()
     ]
     assert got == want
+
+
+def test_wav_bmp_parsers_roundtrip_and_reject_garbage():
+    import pytest
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    w = C.parse_wav(C.synth_wav(n_frames=441, sample_rate=44100, n_channels=2))
+    assert (w["n_frames"], w["sample_rate"], w["n_channels"], w["bits"]) == (
+        441, 44100, 2, 16,
+    )
+    b = C.parse_bmp(C.synth_bmp(width=31, height=7))
+    assert (b["width"], b["height"], b["bpp"]) == (31, 7, 24)
+    with pytest.raises(ValueError):
+        C.parse_wav(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        C.parse_bmp(b"\x00" * 64)
