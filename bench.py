@@ -48,7 +48,9 @@ HEADLINE = [
     "q13_theta_overlap_join",
     "t_ngram_jaccard_dedup",
     "t_minhash_lsh_dedup",
+    "t_dedup_groups",
     "s_cosine_vs_query",
+    "s_ann_ivf_topk",
     "cdc_lww_dedup",
 ]
 
