@@ -150,6 +150,13 @@ class AffinityPartitionAssigner:
         same batch (in-batch transitivity — the reference updates its
         key->part dicts as it walks the delta).
 
+        Cap semantics mirror the reference exactly: the limit counts
+        ROWS (experiments — 100 WGS / 1000 WXS per part), and an
+        affinity-MATCHED row landing in the currently-open partition
+        also counts toward it (partition.py:143-146 increments on
+        reuse of the open id); matches into older partitions bypass
+        the cap entirely.
+
         Scale shape: the state lookup is a distributed melt + equi-join
         + per-row collect_set (one shuffle keyed on (dim, key)); only
         the per-batch delta rows are walked driver-side — exactly the
@@ -207,7 +214,10 @@ class AffinityPartitionAssigner:
 
         state = self.bootstrap(None)
         if assigned is not None:
-            # seed occupancy counters from existing per-strategy maxima
+            # seed occupancy from the highest (part, ROW count) pair per
+            # strategy — the reference's _bootstrap_state takes exactly
+            # max (max_part, max_count) (partition.py:167-193), and its
+            # limits count rows, not groups
             occ = (
                 assigned.groupBy("strategy", "part")
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -226,6 +236,7 @@ class AffinityPartitionAssigner:
         out: dict = {}
         for r in rows:
             rid, strategy = r[id_col], r["strategy"]
+            strat = self.strategies[strategy]
             candidates = set(match_map.get(rid, []))
             for d in dims:
                 k = r[d]
@@ -239,11 +250,15 @@ class AffinityPartitionAssigner:
                     f"row {rid!r}: affinity dimensions point at partitions "
                     f"{sorted(candidates)} — inconsistent assignment state"
                 )
+            cur, n = state.counters.get(strategy, (0, 0))
             if candidates:
                 part = candidates.pop()
+                # reuse of the OPEN partition still occupies a slot
+                # (reference partition.py:143-146); older partitions
+                # bypass the cap
+                if part == strat.mask + cur:
+                    state.counters[strategy] = (cur, n + 1)
             else:
-                strat = self.strategies[strategy]
-                cur, n = state.counters.get(strategy, (0, 0))
                 if n >= strat.cap:
                     cur, n = cur + 1, 0
                 state.counters[strategy] = (cur, n + 1)

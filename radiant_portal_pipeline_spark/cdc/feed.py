@@ -54,6 +54,10 @@ def feed_sql(
     """Render the feed derivation for 'spark' or 'duckdb'.
     ``hot_every=k`` sends every k-th event to the single hot
     conversation (k=5 → 20% hot, k=2 → 50% hot — the skew-bench knob)."""
+    if hot_every < 1:
+        raise ValueError(f"hot_every must be >= 1, got {hot_every}")
+    if n_convs < 1:
+        raise ValueError(f"n_convs must be >= 1, got {n_convs}")
     if dialect == "spark":
         div, str_t = "DIV", "STRING"
     elif dialect == "duckdb":

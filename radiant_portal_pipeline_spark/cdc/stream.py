@@ -39,6 +39,7 @@ def write_feed_partitions(feed_df, out_dir: str, by_col: str = "commit_epoch") -
     fine at 5 epochs, hopeless at the 10^4-batch design point.)
     Returns the number of files written."""
     import os
+    import time
     import uuid
 
     staged = f"{out_dir}-staged-{uuid.uuid4().hex}"
@@ -51,17 +52,33 @@ def write_feed_partitions(feed_df, out_dir: str, by_col: str = "commit_epoch") -
     )
     os.makedirs(out_dir, exist_ok=True)
     n = 0
-    for entry in sorted(os.listdir(staged)):
-        if not entry.startswith("_ep="):
-            continue
+    entries = [e for e in os.listdir(staged) if e.startswith("_ep=")]
+    # numeric epoch order — and explicit ascending mtimes below, because
+    # the file stream source orders by MODIFICATION time and the
+    # parallel write finishes tasks in arbitrary order (renames keep
+    # task-completion mtimes; lexicographic names wouldn't help either:
+    # 'ep-10' < 'ep-2')
+    def _key(e):
+        v = e.split("=", 1)[1]
+        try:
+            return (0, float(v))
+        except ValueError:
+            return (1, v)
+
+    # epoch j gets mtime now - (len-1-j) ms: strictly increasing within
+    # this call, ending at 'now' so a LATER call's files sort after
+    now = time.time()
+    for j, entry in enumerate(sorted(entries, key=_key)):
+        ts = now - (len(entries) - 1 - j) * 0.001
         val = entry.split("=", 1)[1]
         pdir = os.path.join(staged, entry)
         for i, fn in enumerate(sorted(os.listdir(pdir))):
             if fn.endswith(".parquet"):
-                os.rename(
-                    os.path.join(pdir, fn),
-                    os.path.join(out_dir, f"ep-{val}-{i}-{uuid.uuid4().hex}.parquet"),
+                dst = os.path.join(
+                    out_dir, f"ep-{val}-{i}-{uuid.uuid4().hex}.parquet"
                 )
+                os.rename(os.path.join(pdir, fn), dst)
+                os.utime(dst, (ts, ts))
                 n += 1
     import shutil
 

@@ -97,6 +97,12 @@ class CommitProtocol:
     def list_names(self, directory: str) -> list[str]:
         raise NotImplementedError
 
+    def delete(self, target: str) -> None:
+        """Remove a published name (snapshot expiry / blob GC only —
+        never called on the path a concurrent commit could be
+        publishing)."""
+        raise NotImplementedError
+
 
 class PosixCommitProtocol(CommitProtocol):
     def publish(self, target: str, data: bytes) -> None:
@@ -120,6 +126,9 @@ class PosixCommitProtocol(CommitProtocol):
 
     def list_names(self, directory: str) -> list[str]:
         return os.listdir(directory)
+
+    def delete(self, target: str) -> None:
+        os.remove(target)
 
 
 class ConcurrentModification(RuntimeError):
@@ -394,6 +403,7 @@ class LakeTable:
         schema: T.StructType,
         partition_col: str,
         properties: dict[str, Any] | None = None,
+        commit_protocol: "CommitProtocol | None" = None,
     ) -> "LakeTable":
         if partition_col not in schema.fieldNames():
             raise ValueError(f"partition column {partition_col!r} not in schema")
@@ -408,7 +418,7 @@ class LakeTable:
             refs={} if props.get("manifest_split") else None,
             properties=props,
         )
-        tbl = LakeTable(spark, path)
+        tbl = LakeTable(spark, path, commit_protocol=commit_protocol)
         tbl._write_version(snap)
         return tbl
 
@@ -843,8 +853,8 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         removed = 0
-        for v in _versions(self.path)[:-keep_last]:
-            os.remove(_version_path(self.path, v))
+        for v in _versions(self.path, self.commit_protocol)[:-keep_last]:
+            self.commit_protocol.delete(_version_path(self.path, v))
             removed += 1
         return removed
 
@@ -854,8 +864,14 @@ class LakeTable:
         whole dead commit directories — including their _SUCCESS /
         Hadoop .crc droppings, which would otherwise keep one directory
         tree alive per commit forever. Single-writer maintenance op.
+        Version files and manifest blobs go through the commit
+        protocol; DATA files are deleted with local fs ops — they are
+        written by Spark to the table path's (shared) filesystem
+        regardless of which protocol holds the version log.
         Returns the number of parquet data files removed."""
-        snaps = [self.snapshot(v) for v in _versions(self.path)]
+        snaps = [
+            self.snapshot(v) for v in _versions(self.path, self.commit_protocol)
+        ]
         live = {
             os.path.normpath(f)
             for s in snaps
@@ -865,11 +881,14 @@ class LakeTable:
         # GC manifest blobs not referenced by any remaining version
         live_blobs = {n for s in snaps if s.refs for n in s.refs.values()}
         mdir = os.path.join(self.path, _LOG_DIR, "manifests")
-        if os.path.isdir(mdir):
-            for fn in os.listdir(mdir):
-                if fn.endswith(".json") and fn not in live_blobs:
-                    os.remove(os.path.join(mdir, fn))
-                    self._blob_cache.pop(fn, None)
+        try:
+            blob_names = self.commit_protocol.list_names(mdir)
+        except FileNotFoundError:
+            blob_names = []
+        for fn in blob_names:
+            if fn.endswith(".json") and fn not in live_blobs:
+                self.commit_protocol.delete(os.path.join(mdir, fn))
+                self._blob_cache.pop(fn, None)
         live_commit_dirs = {os.path.normpath(f).split(os.sep)[1] for f in live}
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)

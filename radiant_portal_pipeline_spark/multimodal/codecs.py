@@ -35,14 +35,18 @@ def synth_wav(n_frames: int, sample_rate: int, n_channels: int, bits: int = 16) 
 
 def parse_wav(b: bytes) -> dict:
     """Chunk-walking RIFF parser (the real thing — works on actual
-    .wav files): finds fmt/data chunks wherever they sit."""
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    .wav files): finds fmt/data chunks wherever they sit. Truncated or
+    malformed headers raise ValueError (never struct.error — callers
+    are promised one exception type)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, out = 12, {}
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
+            if pos + 24 > len(b):
+                raise ValueError("truncated fmt chunk")
             _tag, ch, sr, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", b[pos + 8 : pos + 24]
             )
@@ -52,6 +56,8 @@ def parse_wav(b: bytes) -> dict:
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if "sample_rate" not in out or "data_bytes" not in out:
         raise ValueError("missing fmt/data chunk")
+    if out["n_channels"] == 0 or out["bits"] == 0:
+        raise ValueError("malformed fmt chunk (zero channels/bits)")
     out["n_frames"] = out["data_bytes"] // (out["n_channels"] * out["bits"] // 8)
     return out
 
@@ -72,8 +78,8 @@ def synth_bmp(width: int, height: int, bpp: int = 24) -> bytes:
 
 
 def parse_bmp(b: bytes) -> dict:
-    if b[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+    if len(b) < 30 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (or truncated header)")
     width, height = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
     return {"width": width, "height": abs(height), "bpp": bpp}

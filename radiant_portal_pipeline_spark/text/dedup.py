@@ -114,6 +114,7 @@ def dedup_groups(
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    prev_ckpt = None
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -131,8 +132,14 @@ def dedup_groups(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # only the LATEST labels (and edges) are read again: release the
+        # superseded checkpoint's storage blocks, else O(iters x |V|)
+        # blocks stay pinned for the life of the job
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt, labels = labels, new_labels
         if changed == 0:
+            edges.unpersist()
             return labels
     raise RuntimeError(f"dedup_groups did not converge in {max_iters} rounds")
 

@@ -174,20 +174,15 @@ def test_custom_commit_protocol_seam(spark, tmp_path):
                 if os.path.dirname(k) == directory
             ]
 
+        def delete(self, target):
+            del self.blobs[target]
+
     proto = MemoryPut()
     path = str(tmp_path / "t")
-    # create() writes v0 through the instance's protocol
-    import os
-
-    os.makedirs(os.path.join(path, "_log"), exist_ok=True)
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    tbl = LakeTable(spark, path, commit_protocol=proto)
-    from radiant_portal_pipeline_spark.lake.table import Snapshot
-
-    tbl._write_version(
-        Snapshot(version=0, schema=SCHEMA, partition_col="part", files={})
-    )
+    # create() publishes v0 through the supplied protocol
+    tbl = LakeTable.create(spark, path, SCHEMA, "part", commit_protocol=proto)
     tbl.append(_df(spark, [("a", 1, 0)]))
+    import os
     # no version files on the real filesystem — all in the backend
     assert not any(f.endswith(".json") for f in os.listdir(os.path.join(path, "_log")))
     reader = LakeTable(spark, path, commit_protocol=proto)
@@ -284,3 +279,46 @@ def test_split_manifest_vacuum_gcs_blobs(spark, tmp_path):
     n_after = len(os.listdir(mdir))
     assert n_after < n_before  # v1's blob collected
     assert {tuple(r) for r in tbl.read().collect()} == {("a2", 2, 0)}
+
+
+def test_maintenance_ops_honor_commit_protocol(spark, tmp_path):
+    """expire_snapshots/vacuum must go through the protocol: on a
+    backend-held version log they would otherwise see zero snapshots
+    and delete every live data file (round-2 review finding)."""
+    from radiant_portal_pipeline_spark.lake.table import CommitProtocol
+
+    class MemoryPut(CommitProtocol):
+        def __init__(self):
+            self.blobs: dict[str, bytes] = {}
+
+        def publish(self, target, data):
+            if target in self.blobs:
+                raise FileExistsError(target)
+            self.blobs[target] = data
+
+        def read(self, target):
+            return self.blobs[target].decode()
+
+        def list_names(self, directory):
+            import os
+
+            return [
+                os.path.basename(k)
+                for k in self.blobs
+                if os.path.dirname(k) == directory
+            ]
+
+        def delete(self, target):
+            del self.blobs[target]
+
+    proto = MemoryPut()
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, "part", commit_protocol=proto
+    )
+    tbl.append(_df(spark, [("a", 1, 0)]))
+    tbl.overwrite_partitions(_df(spark, [("a2", 2, 0)]))
+    # vacuum with all versions alive: the superseded data file survives
+    assert tbl.vacuum() == 0
+    assert tbl.expire_snapshots(keep_last=1) == 2
+    assert tbl.vacuum() == 1  # now v1's file goes; current data intact
+    assert [tuple(r) for r in tbl.read().collect()] == [("a2", 2, 0)]
