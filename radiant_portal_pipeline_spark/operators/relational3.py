@@ -89,6 +89,49 @@ def q34_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q36_jdbc_federation",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q36_jdbc_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/J12: REAL JDBC federation — nation/region are round-tripped
+    through an embedded Derby database (the JDBC engine Spark ships for
+    its metastore) and read back via the partitioned JDBC source, then
+    joined. The oracle reads the original parquet directly, so the
+    whole write→JDBC-read→join path is value-checked. At scale the
+    partition_column/bounds options issue range-sliced parallel queries
+    (sources/jdbc.py; reference: StarRocks external JDBC catalog,
+    radiant_tables.py:145-161)."""
+    import tempfile
+
+    from radiant_portal_pipeline_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q36_')}/fed;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    for t in ("nation", "region"):
+        (
+            load_table(spark, sf_dir, t)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", t)
+            .option("driver", props["driver"])
+            .mode("overwrite")
+            .save()
+        )
+    n = read_jdbc(
+        spark, url, "nation",
+        partition_column="n_nationkey", num_partitions=4,
+        lower_bound=0, upper_bound=25, properties=props,
+    )
+    r = read_jdbc(spark, url, "region", properties=props)
+    return n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+
+
 @query("q35_sketch_aggregates")  # rows-only: sketch impls differ per engine
 def q35_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches for the 100 TB path: approx_count_distinct (HLL++) and
