@@ -115,6 +115,7 @@ def dedup_groups(
         "node", F.col("node").alias("label")
     )
     prev_ckpt = None
+    prev_sum = None
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("node", "b"), "b"
@@ -125,22 +126,20 @@ def dedup_groups(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)  # cut the iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # min-label propagation is MONOTONE (labels only decrease), so
+        # convergence == the label sum stopped moving — one tiny agg
+        # over the fresh checkpoint instead of a self-join per round
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         # only the LATEST labels (and edges) are read again: release the
         # superseded checkpoint's storage blocks, else O(iters x |V|)
         # blocks stay pinned for the life of the job
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt, labels = labels, new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             edges.unpersist()
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"dedup_groups did not converge in {max_iters} rounds")
 
 

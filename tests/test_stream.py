@@ -124,3 +124,26 @@ def test_lineage_iud_counts_exact(spark, tmp_path):
     assert agg[0] == (2, 0, 1)
     # batch 1: c1 update (existed), c4 insert (new), c2 delete
     assert agg[1] == (1, 1, 1)
+
+
+def test_feed_files_mtime_ordered_by_epoch(spark, tmp_path):
+    """The file stream source orders by MODIFICATION time; the feed
+    writer must therefore hand it per-epoch files whose mtimes follow
+    epoch order, or maxFilesPerTrigger=1 delivers epochs interleaved
+    (round-2 review finding — the parallel write finishes tasks in
+    arbitrary order)."""
+    import glob
+    import os
+    import re
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.stream import write_feed_partitions
+
+    feed = synthetic_feed(spark, 20000)  # 10 epochs at EPOCH_SIZE=2000
+    n = write_feed_partitions(feed, str(tmp_path / "feed"))
+    assert n == 10
+    files = sorted(
+        glob.glob(str(tmp_path / "feed" / "*.parquet")), key=os.path.getmtime
+    )
+    epochs = [int(re.match(r"ep-(\d+)-", os.path.basename(f)).group(1)) for f in files]
+    assert epochs == sorted(epochs), epochs
