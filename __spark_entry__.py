@@ -31,6 +31,7 @@ import radiant_portal_pipeline_spark.cdc.queries  # noqa: F401,E402
 for _mod in (
     "radiant_portal_pipeline_spark.sim.queries",
     "radiant_portal_pipeline_spark.multimodal.queries",
+    "radiant_portal_pipeline_spark.streaming.queries",
     "radiant_portal_pipeline_spark.text.queries",
 ):
     try:
