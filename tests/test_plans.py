@@ -147,3 +147,52 @@ def test_lake_scan_prunes_partitions_at_file_level(spark, tmp_path):
     assert full.count() == 100
     snap = tbl.snapshot()
     assert len(snap.files["1"]) < sum(len(v) for v in snap.files.values())
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """ST9/X15: the session enables AQE skew-join handling — prove it
+    fires. A 90%-hot-key sort-merge join at tiny skew thresholds must
+    show skew=true in the FINAL adaptive plan (the hot partition was
+    split instead of landing in one task)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # payload must be INCOMPRESSIBLE (skew detection reads compressed
+        # shuffle sizes) and dim must be INDEPENDENT of fact (a dim
+        # derived from fact reuses fact's exchange, and exchange reuse
+        # blocks the skew split — both discovered empirically)
+        pay = F.concat(
+            F.sha2(F.col("id").cast("string"), 256),
+            F.sha2((F.col("id") + 1).cast("string"), 256),
+        )
+        fact = spark.range(0, 300000, 1, 8).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.col("id").cast("string"))
+            .alias("k"),
+            pay.alias("pad"),
+        )
+        dim = (
+            spark.range(0, 400, 1, 4)
+            .select(F.col("id").cast("string").alias("k"))
+            .union(spark.createDataFrame([("hot",)], "k string"))
+            .withColumn("v", F.sha2("k", 256))
+        )
+        j = fact.join(dim, "k")
+        # execute THIS DataFrame's plan (count() would adapt a different
+        # query) so its AdaptiveSparkPlan finalizes
+        assert len(j.collect()) > 0
+        plan = plan_of(j, "formatted")
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
