@@ -157,6 +157,52 @@ def cdc_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.read().drop("part")
 
 
+_EVOLVE_LSN = 5000  # additive columns appear from this lsn on
+
+
+@query(
+    "cdc_schema_evolution_state",
+    oracle=f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    evolved AS (
+      SELECT *,
+             CASE WHEN lsn >= {_EVOLVE_LSN} THEN 'm-2' END AS meta_model,
+             CASE WHEN lsn >= {_EVOLVE_LSN}
+                  THEN CAST(lsn % 512 AS INTEGER) END AS meta_tokens
+      FROM feed),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM evolved)
+    SELECT conv_id, turn_idx, text, lsn, meta_model, meta_tokens
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_schema_evolution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 / ST-evolution END-TO-END through the engine: the first
+    batch carries the original schema; the second adds meta_model /
+    meta_tokens columns mid-stream. The table schema evolves additively
+    before the merge (reference: columns 'laid in' by migrations,
+    SJRA-1751), pre-evolution winners read back NULL for the new
+    columns, and post-evolution LWW winners carry them — all of which
+    the pure-SQL oracle recomputes independently."""
+    work = tempfile.mkdtemp(prefix="cdc_e_")
+    feed = feed_from_events(spark, sf_dir)
+    early = feed.filter(F.col("lsn") < _EVOLVE_LSN)
+    late = (
+        feed.filter(F.col("lsn") >= _EVOLVE_LSN)
+        .withColumn("meta_model", F.lit("m-2"))
+        .withColumn("meta_tokens", (F.col("lsn") % 512).cast("int"))
+    )
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl)
+    engine.merge_batch(early, epoch=0)
+    engine.merge_batch(late, epoch=1)  # schema widens here
+    return engine.current_state().select(
+        "conv_id", "turn_idx", "text", "lsn", "meta_model", "meta_tokens"
+    )
+
+
 @query(
     "cdc_delta_vs_state",
     oracle=f"""
