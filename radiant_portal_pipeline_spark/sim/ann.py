@@ -104,6 +104,88 @@ def assign_ivf_buckets(
     )
 
 
+N_PLANES = 16
+PLANES_PER_BAND = 4
+
+
+def _plane_coef(k: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane coefficient in
+    [-1000, 1000] from an LCG over (plane, dim) — pure integer
+    arithmetic, so ANY engine reproduces the same planes exactly (the
+    portability requirement for the DuckDB oracle)."""
+    return ((1103515245 * (k * 64 + d) + 12345) % 2001) - 1000
+
+
+def hyperplane_bands(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Random-hyperplane LSH for cosine similarity: 16 sign bits
+    (sign of exact integer dot with a fixed pseudo-random plane),
+    banded 4x4 — near-angle vectors agree on a whole 4-bit band with
+    high probability, so candidate pairs come from a band equi-join
+    instead of all pairs. Returns (id, qv, band_id, band_val). This is
+    the content-blind counterpart of the label/IVF blocking: it needs
+    no labels and no trained centroids."""
+    qv = quantized(F.col(vec_col))
+    planes = [
+        F.array(*[F.lit(_plane_coef(k, d)) for d in range(64)])
+        for k in range(N_PLANES)
+    ]
+    bits = [(dot_q(F.col("qv"), planes[k]) > 0).cast("int") for k in range(N_PLANES)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(
+                    bits[b * PLANES_PER_BAND + j] * (1 << j)
+                    for j in range(PLANES_PER_BAND)
+                ).alias("band_val"),
+            )
+            for b in range(N_PLANES // PLANES_PER_BAND)
+        ]
+    )
+    return (
+        vectors.select(F.col(id_col), qv.alias("qv"))
+        .select(id_col, "qv", F.explode(bands).alias("b"))
+        .select(id_col, "qv", F.col("b.band_id"), F.col("b.band_val"))
+    )
+
+
+def lsh_vector_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate pairs from the hyperplane band join, verified by the
+    exact quantized cosine — precision exact, recall set by the
+    banding (4 bands x 4 bits). Never a cartesian: the band value is
+    the shuffle key, and each band splits the corpus into up to 16
+    buckets."""
+    banded = hyperplane_bands(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.qv").alias("qa"),
+            F.col("b.qv").alias("qb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_q(F.col("qa"), F.col("qb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def rank_probe_buckets(
     centroids: list[tuple[int, list[float]]], query_vec: list[float], n_probes: int
 ) -> list[int]:

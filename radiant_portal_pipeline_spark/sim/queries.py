@@ -120,6 +120,51 @@ def s_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s_lsh_vector_near_dup",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),
+    bits AS (
+      SELECT vec_id, qv,
+             LIST_TRANSFORM(RANGE(0, 16), k ->
+               CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i ->
+                 qv[i::INT] * (((1103515245 * (k * 64 + (i - 1)) + 12345)
+                                % 2001) - 1000))) > 0
+               THEN 1 ELSE 0 END) AS b
+      FROM q),
+    banded AS (
+      SELECT vec_id, qv, t.band_id,
+             b[(t.band_id * 4 + 1)::INT] + b[(t.band_id * 4 + 2)::INT] * 2 +
+             b[(t.band_id * 4 + 3)::INT] * 4 + b[(t.band_id * 4 + 4)::INT] * 8
+               AS band_val
+      FROM bits, UNNEST(RANGE(0, 4)) AS t(band_id)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             ROUND({_DOT.format(a='x.qv', b='y.qv')} /
+                   (SQRT(CAST({_DOT.format(a='x.qv', b='x.qv')} AS DOUBLE)) *
+                    SQRT(CAST({_DOT.format(a='y.qv', b='y.qv')} AS DOUBLE))), 4)
+               AS cosine
+      FROM cand c JOIN q x ON c.vec_a = x.vec_id JOIN q y ON c.vec_b = y.vec_id)
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.3
+    """,
+)
+def s_lsh_vector_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-blind vector near-dup: random-hyperplane LSH (16
+    deterministic integer planes, 4x4-bit bands) generates candidates
+    with a band equi-join — no labels, no trained centroids — then the
+    exact quantized cosine verifies. The DuckDB oracle recomputes the
+    IDENTICAL planes from the same LCG, so banding, candidates and
+    verification are all value-checked (sim/ann.py
+    lsh_vector_near_dup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_vector_near_dup_pairs(emb, threshold=0.3)
+
+
 @query("s_ivf_kmeans_train")  # rows-only: iterative algorithm, no SQL twin
 def s_ivf_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build: 3 Lloyd iterations of k-means (k=8) over the

@@ -183,3 +183,30 @@ def test_wav_bmp_parsers_roundtrip_and_reject_garbage():
         C.parse_wav(b"\x00" * 64)
     with pytest.raises(ValueError):
         C.parse_bmp(b"\x00" * 64)
+
+
+def test_lsh_vector_near_dup_recall_matches_theory(spark, sf_correct):
+    """Random-hyperplane banding recall at threshold c follows
+    1-(1-p^4)^4 with p = 1 - arccos(c)/pi. At c=0.3 that's ~0.43 for
+    pairs NEAR the threshold (higher for true near-dups, ->1 as c->1).
+    Assert the measured recall sits in the theoretical ballpark and
+    precision is exact (every emitted pair verified >= threshold)."""
+    emb = load_table(spark, sf_correct, "embeddings")
+    q = emb.select("vec_id", ann.quantized(F.col("embedding")).alias("qv"))
+    a, b = q.alias("a"), q.alias("b")
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            ann.cosine_q(F.col("a.qv"), F.col("b.qv")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    got = ann.lsh_vector_near_dup_pairs(emb, threshold=0.3)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got.collect()}
+    assert pairs <= truth  # exact precision (cosine verify)
+    recall = len(pairs & truth) / len(truth)
+    assert 0.3 <= recall, f"recall {recall} collapsed below theory floor"
