@@ -161,9 +161,15 @@ def lsh_vector_near_dup_pairs(
     exact quantized cosine — precision exact, recall set by the
     banding (4 bands x 4 bits). Never a cartesian: the band value is
     the shuffle key, and each band splits the corpus into up to 16
-    buckets."""
+    buckets.
+
+    Exchange hygiene: the band join and the pair dedup move ONLY id
+    pairs (never the 64-element vectors — the round-1 lesson from
+    s_embedding_near_dup_pairs), and norms are computed once per
+    vector, not per pair (cosine_from_parts)."""
     banded = hyperplane_bands(vectors, vec_col, id_col).localCheckpoint(eager=True)
-    a, b = banded.alias("a"), banded.alias("b")
+    slim = banded.select(id_col, "band_id", "band_val")
+    a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(
             b,
@@ -174,13 +180,27 @@ def lsh_vector_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.col("a.qv").alias("qa"),
-            F.col("b.qv").alias("qb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        .distinct()
+    )
+    vecs = banded.select(id_col, "qv").dropDuplicates([id_col]).withColumn(
+        "nrm", norm_d(F.col("qv"))
+    )
+    va = vecs.select(
+        F.col(id_col).alias("vec_a"), F.col("qv").alias("qa"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("vec_b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb")
     )
     return (
-        cand.withColumn("cosine", cosine_q(F.col("qa"), F.col("qb")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            cosine_from_parts(
+                dot_q(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

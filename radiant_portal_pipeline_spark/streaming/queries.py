@@ -11,8 +11,6 @@ batch/streaming unification, made checkable.
 
 from __future__ import annotations
 
-import os
-import shutil
 import tempfile
 import uuid
 
@@ -43,8 +41,13 @@ def st_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to TIMESTAMP_NTZ (UTC-pinned session) so the comparison is
     timezone-proof."""
     batch = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="st_win_")
-    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    # split the source into several files so maxFilesPerTrigger=1 forces
+    # MULTIPLE micro-batches: the complete-mode aggregation state must
+    # survive and accumulate across them, or the oracle diverges (a
+    # single-file source would be a one-shot batch in disguise and
+    # could not catch cross-batch state loss/duplication)
+    src = tempfile.mkdtemp(prefix="st_win_") + "/events"
+    batch.repartition(4).write.parquet(src)
 
     stream = (
         spark.readStream.schema(batch.schema)

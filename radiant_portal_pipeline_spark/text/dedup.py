@@ -128,18 +128,36 @@ def dedup_groups(
         )
         # min-label propagation is MONOTONE (labels only decrease), so
         # convergence == the label sum stopped moving — one tiny agg
-        # over the fresh checkpoint instead of a self-join per round
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # over the fresh checkpoint instead of a self-join per round.
+        # Non-numeric ids (e.g. hash strings) have no sum: fall back to
+        # counting rows that still differ from the previous labels.
+        label_t = dict(new_labels.dtypes)["label"]
+        if label_t in ("bigint", "int", "smallint", "tinyint") or label_t.startswith(
+            "decimal"
+        ):
+            new_sum = new_labels.agg(F.sum("label")).first()[0]
+            converged = new_sum == prev_sum
+            prev_sum_next = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
+            prev_sum_next = None
         # only the LATEST labels (and edges) are read again: release the
         # superseded checkpoint's storage blocks, else O(iters x |V|)
         # blocks stay pinned for the life of the job
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt, labels = labels, new_labels
-        if new_sum == prev_sum:
+        if converged:
             edges.unpersist()
             return labels
-        prev_sum = new_sum
+        prev_sum = prev_sum_next
     raise RuntimeError(f"dedup_groups did not converge in {max_iters} rounds")
 
 

@@ -210,3 +210,20 @@ def test_lsh_vector_near_dup_recall_matches_theory(spark, sf_correct):
     assert pairs <= truth  # exact precision (cosine verify)
     recall = len(pairs & truth) / len(truth)
     assert 0.3 <= recall, f"recall {recall} collapsed below theory floor"
+
+
+def test_dedup_groups_string_ids(spark):
+    """Non-numeric node ids (hash-string doc ids) must converge via the
+    join-based fallback — the sum-based convergence check is only valid
+    for exact numeric labels (round-2 review finding)."""
+    from radiant_portal_pipeline_spark.text.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],  # 3-hop chain
+        "doc_a string, doc_b string",
+    )
+    got = {(r["node"], r["label"]) for r in dedup_groups(pairs).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }
