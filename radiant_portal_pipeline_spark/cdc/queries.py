@@ -87,6 +87,24 @@ def cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.current_state().select(*_FINAL_STATE_COLS)
 
 
+@query("cdc_cow_final_state", oracle=_ORACLE_FINAL_STATE)
+def cdc_cow_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COPY-ON-WRITE merge strategy through the same replay and the
+    same oracle: fused union+LWW, touched buckets rewritten, reads are
+    pure scans (reference's copy-unchanged + swap, operator.py:282-355).
+    MoR (cdc_lww_final_state) and CoW must land on identical state —
+    both are now driver-gated, not just pytest-asserted."""
+    work = tempfile.mkdtemp(prefix="cdc_c_")
+    feed = feed_from_events(spark, sf_dir)
+    write_feed_partitions(feed, f"{work}/feed")
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl, mode="cow")
+    run_cdc_stream(
+        spark, f"{work}/feed", engine, f"{work}/ckpt", max_files_per_trigger=1
+    )
+    return engine.current_state().select(*_FINAL_STATE_COLS)
+
+
 @query("cdc_stream_final_state", oracle=_ORACLE_FINAL_STATE)
 def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP (streaming): the same replay through Structured

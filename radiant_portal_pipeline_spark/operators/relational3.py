@@ -132,6 +132,57 @@ def q36_jdbc_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q37_data_qa_suite",
+    oracle="""
+    SELECT 'accepted_values:l_returnflag' AS check_name,
+           COUNT(*) AS n_violations
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+    UNION ALL
+    SELECT 'range:l_quantity', COUNT(*) FROM lineitem WHERE l_quantity > 45
+    UNION ALL
+    SELECT 'subset_of_parent:l_orderkey', COUNT(*)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q37_data_qa_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: the dbt-macro data-quality suite run as ONE job with
+    per-check violation counts (reference: radiant/data_qa/macros +
+    the data-integrity DAG) — accepted-values, range, and
+    subset-of-parent over lineitem/orders. Zero-violation checks still
+    emit a 0 row, so the serving layer can distinguish 'ran clean'
+    from 'did not run'."""
+    from radiant_portal_pipeline_spark.operators import data_qa as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def cnt(viol: DataFrame, name: str) -> DataFrame:
+        return viol.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations")
+        ).select(F.lit(name).alias("check_name"), "n_violations")
+
+    from functools import reduce
+
+    return reduce(
+        DataFrame.unionByName,
+        [
+            cnt(
+                Q.check_accepted_values(li, "l_returnflag", ["A", "N"]),
+                "accepted_values:l_returnflag",
+            ),
+            cnt(Q.check_range(li, "l_quantity", hi=45), "range:l_quantity"),
+            cnt(
+                Q.check_subset_of_parent(
+                    li.withColumnRenamed("l_orderkey", "o_orderkey"), o, ["o_orderkey"]
+                ),
+                "subset_of_parent:l_orderkey",
+            ),
+        ],
+    )
+
+
 @query("q35_sketch_aggregates")  # rows-only: sketch impls differ per engine
 def q35_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches for the 100 TB path: approx_count_distinct (HLL++) and
