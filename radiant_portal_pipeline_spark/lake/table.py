@@ -701,10 +701,12 @@ class LakeTable:
         if snap0.refs is not None:  # split layout: touch O(batch) blobs only
 
             def mutate(snap: Snapshot):
-                refs = dict(snap.refs)
-                for pv, fs in new_files.items():
+                from concurrent.futures import ThreadPoolExecutor
+
+                def build(item):
+                    pv, fs = item
                     old_files, old_stats = snap.part_entry(pv)
-                    refs[pv] = self._write_blob(
+                    return pv, self._write_blob(
                         {
                             "files": old_files + fs,
                             "stats": {
@@ -713,6 +715,15 @@ class LakeTable:
                             },
                         }
                     )
+
+                refs = dict(snap.refs)
+                # blob publishes fsync — thread them so the driver-side
+                # commit latency stays flat in the bucket count
+                with ThreadPoolExecutor(
+                    max_workers=min(16, max(1, len(new_files)))
+                ) as ex:
+                    for pv, name in ex.map(build, new_files.items()):
+                        refs[pv] = name
                 return {"schema": self._evolved_schema(snap, df), "refs": refs}
 
         else:
@@ -780,14 +791,24 @@ class LakeTable:
                             f"partition {p!r} changed concurrently; recompute "
                             f"from a fresh snapshot before replacing it"
                         )
-                refs = {k: v for k, v in snap.refs.items() if k not in replaced}
-                for pv, fs in new_files.items():
-                    refs[pv] = self._write_blob(
+                from concurrent.futures import ThreadPoolExecutor
+
+                def build(item):
+                    pv, fs = item
+                    return pv, self._write_blob(
                         {
                             "files": list(fs),
                             "stats": {f: new_stats[f] for f in fs},
                         }
                     )
+
+                refs = {k: v for k, v in snap.refs.items() if k not in replaced}
+                if new_files:
+                    with ThreadPoolExecutor(
+                        max_workers=min(16, len(new_files))
+                    ) as ex:
+                        for pv, name in ex.map(build, new_files.items()):
+                            refs[pv] = name
                 return {"schema": self._evolved_schema(snap, df), "refs": refs}
 
         else:
