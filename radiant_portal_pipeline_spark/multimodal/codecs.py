@@ -62,6 +62,47 @@ def parse_wav(b: bytes) -> dict:
     return out
 
 
+def synth_wav_pcm(doc_id: int, n_frames: int, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV with a FULL deterministic sample body:
+    sample i = ((doc_id*31 + i*17) % 256) - 128 — reproducible by pure
+    integer arithmetic in any engine, so DSP features extracted from
+    the BYTES can be oracle-checked."""
+    samples = [((doc_id * 31 + i * 17) % 256) - 128 for i in range(n_frames)]
+    body = struct.pack(f"<{n_frames}h", *samples)
+    riff = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return riff + fmt + b"data" + struct.pack("<I", len(body)) + body
+
+
+def extract_pcm_features(b: bytes) -> dict:
+    """REAL feature extraction from raw audio bytes: parse the RIFF
+    header, locate the data chunk, decode int16 little-endian PCM, and
+    compute peak / sum-of-absolute amplitude (numpy-vectorized — the
+    shape of any executor-side DSP pass)."""
+    import numpy as np
+
+    meta = parse_wav(b)
+    if meta["bits"] != 16:
+        raise ValueError("only 16-bit PCM supported")
+    # find the data chunk offset again (parse_wav keeps sizes only)
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            pcm = np.frombuffer(b, dtype="<i2", count=size // 2, offset=pos + 8)
+            return {
+                "n_frames": int(meta["n_frames"]),
+                "sample_rate": int(meta["sample_rate"]),
+                "peak": int(np.abs(pcm).max()) if pcm.size else 0,
+                "sum_abs": int(np.abs(pcm.astype(np.int64)).sum()),
+            }
+        pos += 8 + size + (size & 1)
+    raise ValueError("missing data chunk")
+
+
 # ------------------------------------------------------------------ BMP
 
 

@@ -136,3 +136,63 @@ def m_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+@query(
+    "m_audio_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 200 + 1 AS INTEGER) AS n_frames,
+             LIST_TRANSFORM(RANGE(0, doc_id % 200 + 1),
+                            i -> ABS(((doc_id * 31 + i * 17) % 256) - 128)) AS a
+      FROM documents)
+    SELECT doc_id, n_frames,
+           CAST(LIST_MAX(a) AS INTEGER) AS peak,
+           CAST(LIST_SUM(a) AS BIGINT) AS sum_abs
+    FROM p
+    """,
+)
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: a full PCM WAV (deterministic
+    int16 samples) is synthesized per doc, then the features come from
+    the BYTES — RIFF chunk walk, numpy int16 decode, vectorized
+    peak/sum-of-abs (multimodal/codecs.py extract_pcm_features). The
+    oracle recomputes the same features from the generating arithmetic:
+    any error in header layout, endianness, offset math or the numpy
+    pass diverges the hash. This is the executor-side DSP shape (decode
+    → vectorize → reduce) a multimodal pipeline runs at scale, with
+    zero codec libraries."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("peak", T.IntegerType(), False),
+            T.StructField("sum_abs", T.LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = C.synth_wav_pcm(d, n_frames=d % 200 + 1, sample_rate=16000)
+                f = C.extract_pcm_features(payload)
+                rows.append((d, f["n_frames"], f["peak"], f["sum_abs"]))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "peak", "sum_abs"]
+            )
+            out["n_frames"] = out["n_frames"].astype("int32")
+            out["peak"] = out["peak"].astype("int32")
+            out["sum_abs"] = out["sum_abs"].astype("int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(batches, schema=schema)

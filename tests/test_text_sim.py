@@ -227,3 +227,13 @@ def test_dedup_groups_string_ids(spark):
         ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
         ("x", "x"), ("y", "x"),
     }
+
+
+def test_pcm_feature_extraction_matches_generator():
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    b = C.synth_wav_pcm(7, n_frames=100, sample_rate=8000)
+    f = C.extract_pcm_features(b)
+    want = [abs(((7 * 31 + i * 17) % 256) - 128) for i in range(100)]
+    assert f["n_frames"] == 100 and f["sample_rate"] == 8000
+    assert f["peak"] == max(want) and f["sum_abs"] == sum(want)
