@@ -118,6 +118,54 @@ def synth_bmp(width: int, height: int, bpp: int = 24) -> bytes:
     return file_hdr + info_hdr + bytes(min(img_size, 64))
 
 
+def synth_bmp_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """24bpp BMP with a FULL pixel array: pixel (x, y)'s blue channel =
+    (doc_id + 3x + 7y) % 256 (green/red = +1/+2), rows bottom-up and
+    padded to 4 bytes per the real format — the layout details
+    (stride, padding, channel order, row direction) are exactly what a
+    resize/feature pass must get right."""
+    row_bytes = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_bytes - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # BMP stores bottom-up
+        row = bytearray()
+        for x in range(width):
+            v = (doc_id + 3 * x + 7 * y) % 256
+            row += bytes(((v, (v + 1) % 256, (v + 2) % 256)))  # B, G, R
+        rows.append(bytes(row) + pad)
+    body = b"".join(rows)
+    file_hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + body
+
+
+def resize_bmp_nearest(b: bytes, step: int = 2) -> dict:
+    """REAL nearest-neighbor downsample straight from BMP bytes: parse
+    the header, undo the bottom-up row order and the 4-byte row
+    padding with a numpy strided view, sample every ``step``-th pixel,
+    and return output dims + the blue-channel checksum of the sampled
+    grid (the value an oracle can recompute from the generator
+    arithmetic)."""
+    import numpy as np
+
+    meta = parse_bmp(b)
+    w, h = meta["width"], meta["height"]
+    if meta["bpp"] != 24:
+        raise ValueError("only 24bpp supported")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(b, dtype=np.uint8, offset=54, count=row_bytes * h)
+    rows = arr.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    top_down = rows[::-1]  # undo bottom-up storage
+    sampled = top_down[::step, ::step]
+    return {
+        "out_w": sampled.shape[1],
+        "out_h": sampled.shape[0],
+        "blue_checksum": int(sampled[:, :, 0].astype(np.int64).sum()),
+    }
+
+
 def parse_bmp(b: bytes) -> dict:
     if len(b) < 30 or b[:2] != b"BM":
         raise ValueError("not a BMP payload (or truncated header)")

@@ -139,6 +139,68 @@ def m_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_image_resize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 61 + 2 AS INTEGER) AS w,
+             CAST(doc_id % 47 + 2 AS INTEGER) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST((w + 1) // 2 AS INTEGER) AS out_w,
+           CAST((h + 1) // 2 AS INTEGER) AS out_h,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, (h + 1) // 2), yy ->
+             LIST_SUM(LIST_TRANSFORM(RANGE(0, (w + 1) // 2), xx ->
+               (doc_id + 3 * (xx * 2) + 7 * (yy * 2)) % 256)))) AS BIGINT)
+             AS blue_checksum
+    FROM p
+    """,
+)
+def m_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize from BMP bytes: a full 24bpp pixel array
+    (deterministic channels, bottom-up rows, 4-byte row padding — the
+    actual format) is synthesized per doc, then nearest-neighbor
+    2x-downsampled with a numpy strided view straight off the bytes
+    (multimodal/codecs.py resize_bmp_nearest). The oracle recomputes
+    output dims + the sampled blue-channel checksum from the generator
+    arithmetic — stride, padding, channel order and row-direction bugs
+    (the classic real-decoder failures) all diverge the hash."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("out_w", T.IntegerType(), False),
+            T.StructField("out_h", T.IntegerType(), False),
+            T.StructField("blue_checksum", T.LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = C.synth_bmp_pixels(d, width=d % 61 + 2, height=d % 47 + 2)
+                r = C.resize_bmp_nearest(payload, step=2)
+                rows.append((d, r["out_w"], r["out_h"], r["blue_checksum"]))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "blue_checksum"]
+            )
+            out["out_w"] = out["out_w"].astype("int32")
+            out["out_h"] = out["out_h"].astype("int32")
+            out["blue_checksum"] = out["blue_checksum"].astype("int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+@query(
     "m_audio_features",
     oracle="""
     WITH p AS (

@@ -237,3 +237,15 @@ def test_pcm_feature_extraction_matches_generator():
     want = [abs(((7 * 31 + i * 17) % 256) - 128) for i in range(100)]
     assert f["n_frames"] == 100 and f["sample_rate"] == 8000
     assert f["peak"] == max(want) and f["sum_abs"] == sum(want)
+
+
+def test_bmp_resize_handles_padding_and_row_order():
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    # width 3 -> 9 data bytes per row + 3 pad bytes (exercises stride)
+    b = C.synth_bmp_pixels(5, width=3, height=4)
+    r = C.resize_bmp_nearest(b, step=2)
+    assert (r["out_w"], r["out_h"]) == (2, 2)
+    # sampled pixels: (x,y) in {0,2} x {0,2}, blue = (5 + 3x + 7y) % 256
+    want = sum((5 + 3 * x + 7 * y) % 256 for y in (0, 2) for x in (0, 2))
+    assert r["blue_checksum"] == want
