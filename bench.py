@@ -189,6 +189,11 @@ def main() -> None:
                 text=True,
                 timeout=1800,
             )
+            if r.returncode != 0 or not r.stdout.strip():
+                raise RuntimeError(
+                    f"merge-only child (cpus={level}, plan={plan}) failed "
+                    f"rc={r.returncode}: {r.stderr[-500:]}"
+                )
             return json.loads(r.stdout.strip().splitlines()[-1])
 
         def one(level: int) -> dict:

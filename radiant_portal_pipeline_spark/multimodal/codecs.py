@@ -53,6 +53,7 @@ def parse_wav(b: bytes) -> dict:
             out.update(n_channels=ch, sample_rate=sr, bits=bits)
         elif cid == b"data":
             out["data_bytes"] = size
+            out["data_offset"] = pos + 8
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if "sample_rate" not in out or "data_bytes" not in out:
         raise ValueError("missing fmt/data chunk")
@@ -86,21 +87,18 @@ def extract_pcm_features(b: bytes) -> dict:
     meta = parse_wav(b)
     if meta["bits"] != 16:
         raise ValueError("only 16-bit PCM supported")
-    # find the data chunk offset again (parse_wav keeps sizes only)
-    pos = 12
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
-        if cid == b"data":
-            pcm = np.frombuffer(b, dtype="<i2", count=size // 2, offset=pos + 8)
-            return {
-                "n_frames": int(meta["n_frames"]),
-                "sample_rate": int(meta["sample_rate"]),
-                "peak": int(np.abs(pcm).max()) if pcm.size else 0,
-                "sum_abs": int(np.abs(pcm.astype(np.int64)).sum()),
-            }
-        pos += 8 + size + (size & 1)
-    raise ValueError("missing data chunk")
+    pcm = np.frombuffer(
+        b, dtype="<i2", count=meta["data_bytes"] // 2, offset=meta["data_offset"]
+    )
+    # abs in int64: np.abs on raw int16 wraps -32768 to -32768 and a
+    # full-scale negative sample would report a NEGATIVE peak
+    amps = np.abs(pcm.astype(np.int64))
+    return {
+        "n_frames": int(meta["n_frames"]),
+        "sample_rate": int(meta["sample_rate"]),
+        "peak": int(amps.max()) if amps.size else 0,
+        "sum_abs": int(amps.sum()),
+    }
 
 
 # ------------------------------------------------------------------ BMP
@@ -155,9 +153,13 @@ def resize_bmp_nearest(b: bytes, step: int = 2) -> dict:
     if meta["bpp"] != 24:
         raise ValueError("only 24bpp supported")
     row_bytes = (w * 3 + 3) // 4 * 4
-    arr = np.frombuffer(b, dtype=np.uint8, offset=54, count=row_bytes * h)
+    # honor the header's pixel-array offset (V4/V5 headers put it past
+    # 54) and the row direction flag (negative biHeight = top-down)
+    arr = np.frombuffer(
+        b, dtype=np.uint8, offset=meta["data_offset"], count=row_bytes * h
+    )
     rows = arr.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
-    top_down = rows[::-1]  # undo bottom-up storage
+    top_down = rows if meta["top_down"] else rows[::-1]
     sampled = top_down[::step, ::step]
     return {
         "out_w": sampled.shape[1],
@@ -169,6 +171,14 @@ def resize_bmp_nearest(b: bytes, step: int = 2) -> dict:
 def parse_bmp(b: bytes) -> dict:
     if len(b) < 30 or b[:2] != b"BM":
         raise ValueError("not a BMP payload (or truncated header)")
+    data_offset = struct.unpack("<I", b[10:14])[0]  # bfOffBits — NOT always 54
     width, height = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
-    return {"width": width, "height": abs(height), "bpp": bpp}
+    return {
+        "width": width,
+        "height": abs(height),
+        "bpp": bpp,
+        # negative biHeight = rows stored TOP-down (no flip needed)
+        "top_down": height < 0,
+        "data_offset": data_offset,
+    }

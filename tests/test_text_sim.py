@@ -249,3 +249,43 @@ def test_bmp_resize_handles_padding_and_row_order():
     # sampled pixels: (x,y) in {0,2} x {0,2}, blue = (5 + 3x + 7y) % 256
     want = sum((5 + 3 * x + 7 * y) % 256 for y in (0, 2) for x in (0, 2))
     assert r["blue_checksum"] == want
+
+
+def test_bmp_resize_honors_offset_and_top_down():
+    """Real-file shapes the round-3 review flagged: a V4/V5-style
+    pixel-array offset past 54, and a negative-height (top-down) BMP
+    must not be flipped."""
+    import struct
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    base = C.synth_bmp_pixels(5, width=4, height=4)
+    want = C.resize_bmp_nearest(base, step=2)
+
+    # shift the pixel array 16 bytes right and patch bfOffBits
+    shifted = bytearray(base[:54]) + bytearray(16) + bytearray(base[54:])
+    shifted[10:14] = struct.pack("<I", 54 + 16)
+    assert C.resize_bmp_nearest(bytes(shifted), step=2) == want
+
+    # top-down variant: negate biHeight, store rows top-down (= reverse
+    # the bottom-up row blocks of the original body)
+    row_bytes = (4 * 3 + 3) // 4 * 4
+    body = base[54:]
+    rows = [body[i * row_bytes:(i + 1) * row_bytes] for i in range(4)]
+    td = bytearray(base[:54]) + bytearray(b"".join(reversed(rows)))
+    td[22:26] = struct.pack("<i", -4)
+    assert C.resize_bmp_nearest(bytes(td), step=2) == want
+
+
+def test_pcm_peak_not_negative_on_full_scale_sample():
+    import struct
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    body = struct.pack("<4h", -32768, 100, -5, 32767)
+    b = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+         + b"data" + struct.pack("<I", len(body)) + body)
+    f = C.extract_pcm_features(b)
+    assert f["peak"] == 32768  # |−32768| — would be negative under int16 abs
+    assert f["sum_abs"] == 32768 + 100 + 5 + 32767
