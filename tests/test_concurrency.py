@@ -109,3 +109,57 @@ def test_vacuum_removes_dead_commit_dirs_entirely(spark, tmp_path):
     live_dirs = os.listdir(data_root)
     assert len(live_dirs) == 1  # dead commit dir fully gone, crc and all
     assert [tuple(r) for r in tbl.read().collect()] == [("b", 2, 0)]
+
+
+def test_racing_appends_all_land_split_manifests(spark, tmp_path):
+    """The refs-level rebase path: racing appends to a SPLIT-manifest
+    table must all land, with untouched partitions' blob refs carried
+    through every rebase (losing a race and re-applying must not drop a
+    concurrent writer's blobs)."""
+    path = str(tmp_path / "t")
+    LakeTable.create(
+        spark, path, SCHEMA, "part",
+        properties={"manifest_split": True, "stats_cols": ["v"]},
+    )
+    n_writers, rows_each = 6, 5
+
+    def writer(i: int) -> int:
+        tbl = LakeTable(spark, path)
+        df = spark.createDataFrame(
+            [(f"w{i}-{j}", i * 100 + j, i % 3) for j in range(rows_each)], SCHEMA
+        )
+        return tbl.append(df).version
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        versions = list(ex.map(writer, range(n_writers)))
+
+    assert sorted(versions) == list(range(1, n_writers + 1))
+    tbl = LakeTable(spark, path)
+    assert tbl.read().count() == n_writers * rows_each
+    snap = tbl.snapshot()
+    assert snap.refs is not None
+    # every partition's blob holds ALL its writers' files
+    per_part = {p: len(fs) for p, fs in snap.files.items()}
+    assert per_part == {"0": 2, "1": 2, "2": 2}  # 2 writers per part value
+
+
+def test_split_disjoint_overwrites_rebase_cleanly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tbl0 = LakeTable.create(
+        spark, path, SCHEMA, "part", properties={"manifest_split": True}
+    )
+    tbl0.append(
+        spark.createDataFrame([("seed0", 0, 0), ("seed1", 0, 1)], SCHEMA)
+    )
+
+    def overwrite(part: int):
+        tbl = LakeTable(spark, path)
+        tbl.overwrite_partitions(
+            spark.createDataFrame([(f"new{part}", 1, part)], SCHEMA)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(overwrite, [0, 1]))
+
+    rows = {tuple(r) for r in LakeTable(spark, path).read().collect()}
+    assert rows == {("new0", 1, 0), ("new1", 1, 1)}
