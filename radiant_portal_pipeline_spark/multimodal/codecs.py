@@ -101,6 +101,67 @@ def extract_pcm_features(b: bytes) -> dict:
     }
 
 
+# ------------------------------------------------------------------ Y4M
+
+
+def synth_y4m(doc_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """YUV4MPEG2 (a REAL raw-video container: text header + uncompressed
+    4:2:0 frames — the format ffmpeg pipes produce, no codec needed).
+    Y plane pixel i of frame f = (doc_id + 13*f + 5*i) % 256, chroma
+    constant 128 — fully reproducible by integer arithmetic."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    frames = []
+    for f in range(n_frames):
+        y = bytes(((doc_id + 13 * f + 5 * i) % 256) for i in range(ysz))
+        frames.append(b"FRAME\n" + y + b"\x80" * (2 * csz))
+    return hdr + b"".join(frames)
+
+
+def sample_y4m_frames(b: bytes, step: int = 2) -> dict:
+    """REAL frame sampling straight from the container bytes: parse the
+    stream header (W/H/C tokens), walk fixed-size 4:2:0 frames, take
+    every ``step``-th one, and reduce its Y plane (numpy sum) — the
+    video analog of the BMP resize / PCM feature passes."""
+    import numpy as np
+
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    tokens = b[:nl].decode("ascii", "replace").split()
+    w = h = None
+    for t in tokens[1:]:
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C") and t != "C420":
+            raise ValueError(f"unsupported chroma mode {t}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    ysz = w * h
+    fsz = ysz + 2 * ((w // 2) * (h // 2))
+    pos, frame_offsets = nl + 1, []
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        frame_offsets.append(fnl + 1)
+        pos = fnl + 1 + fsz
+    sampled = frame_offsets[::step]
+    checksum = 0
+    for off in sampled:
+        yplane = np.frombuffer(b, dtype=np.uint8, offset=off, count=ysz)
+        checksum += int(yplane.astype(np.int64).sum())
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frame_offsets),
+        "n_sampled": len(sampled),
+        "y_checksum": checksum,
+    }
+
+
 # ------------------------------------------------------------------ BMP
 
 

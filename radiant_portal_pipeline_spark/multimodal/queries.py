@@ -201,6 +201,64 @@ def m_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_video_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, CAST(doc_id % 20 + 2 AS INTEGER) AS nf
+               FROM documents)
+    SELECT doc_id, nf AS n_frames,
+           CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, nf, 2), f ->
+             LIST_SUM(LIST_TRANSFORM(RANGE(0, 48), i ->
+               (doc_id + 13 * f + 5 * i) % 256)))) AS BIGINT) AS y_checksum
+    FROM p
+    """,
+)
+def m_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: a YUV4MPEG2 stream (raw 4:2:0 — the
+    codec-free container ffmpeg pipes emit) is synthesized per doc with
+    deterministic Y planes, then every 2nd frame is extracted FROM THE
+    BYTES (header token parse, frame walk, numpy Y-plane reduce —
+    multimodal/codecs.py sample_y4m_frames). Completes the
+    decode/feature-extract/resize/frame-sample quartet with real
+    parsing on three of four (only compressed decode stays stubbed).
+    The oracle recomputes frame count, sampled count and the sampled-Y
+    checksum arithmetically."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("n_sampled", T.IntegerType(), False),
+            T.StructField("y_checksum", T.LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = C.synth_y4m(d, width=8, height=6, n_frames=d % 20 + 2)
+                s = C.sample_y4m_frames(payload, step=2)
+                rows.append((d, s["n_frames"], s["n_sampled"], s["y_checksum"]))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "y_checksum"]
+            )
+            out["n_frames"] = out["n_frames"].astype("int32")
+            out["n_sampled"] = out["n_sampled"].astype("int32")
+            out["y_checksum"] = out["y_checksum"].astype("int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+@query(
     "m_audio_features",
     oracle="""
     WITH p AS (

@@ -289,3 +289,19 @@ def test_pcm_peak_not_negative_on_full_scale_sample():
     f = C.extract_pcm_features(b)
     assert f["peak"] == 32768  # |−32768| — would be negative under int16 abs
     assert f["sum_abs"] == 32768 + 100 + 5 + 32767
+
+
+def test_y4m_frame_sampling_roundtrip_and_reject_garbage():
+    import pytest
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    b = C.synth_y4m(3, width=8, height=6, n_frames=5)
+    s = C.sample_y4m_frames(b, step=2)
+    assert (s["width"], s["height"], s["n_frames"], s["n_sampled"]) == (8, 6, 5, 3)
+    want = sum(
+        (3 + 13 * f + 5 * i) % 256 for f in (0, 2, 4) for i in range(48)
+    )
+    assert s["y_checksum"] == want
+    with pytest.raises(ValueError):
+        C.sample_y4m_frames(b"\x00" * 32)
