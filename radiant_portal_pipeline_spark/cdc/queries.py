@@ -175,6 +175,87 @@ def cdc_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.read().drop("part")
 
 
+def table_diff(a: DataFrame, b: DataFrame, keys: list, compare_cols: list) -> DataFrame:
+    """Reconciliation operator: one-row summary of how two table states
+    differ — keys only in A, only in B, present in both with differing
+    payload, and equal. One full-outer join keyed on the merge key (the
+    shuffle both sides already cluster by); payloads compared via a
+    single concat hash, so the join carries two longs, not wide rows.
+    This is the ops tool behind the engine's own correctness criterion
+    (final-state equality after replay) — run it against a replica,
+    a backfill, or a pre-migration snapshot."""
+    def fp(df):
+        return df.select(
+            *keys,
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]).alias("_fp"),
+        )
+
+    joined = fp(a).alias("a").join(
+        fp(b).alias("b"),
+        [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+        "full_outer",
+    )
+    a_present = F.col("a._fp").isNotNull()
+    b_present = F.col("b._fp").isNotNull()
+    return joined.agg(
+        F.sum(F.when(a_present & ~b_present, 1).otherwise(0)).cast("long").alias("n_only_a"),
+        F.sum(F.when(~a_present & b_present, 1).otherwise(0)).cast("long").alias("n_only_b"),
+        F.sum(
+            F.when(a_present & b_present & (F.col("a._fp") != F.col("b._fp")), 1).otherwise(0)
+        ).cast("long").alias("n_differing"),
+        F.sum(
+            F.when(a_present & b_present & (F.col("a._fp") == F.col("b._fp")), 1).otherwise(0)
+        ).cast("long").alias("n_equal"),
+    )
+
+
+@query(
+    "cdc_reconcile_midstream_vs_final",
+    oracle=f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    ra AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           FROM feed WHERE commit_epoch <= 2),
+    sa AS (SELECT conv_id, turn_idx, text, lsn FROM ra WHERE rn = 1 AND op <> 'D'),
+    rb AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+           FROM feed),
+    sb AS (SELECT conv_id, turn_idx, text, lsn FROM rb WHERE rn = 1 AND op <> 'D')
+    SELECT
+      CAST(SUM(CASE WHEN sb.conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+      CAST(SUM(CASE WHEN sa.conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+      CAST(SUM(CASE WHEN sa.conv_id IS NOT NULL AND sb.conv_id IS NOT NULL
+                AND (sa.text <> sb.text OR sa.lsn <> sb.lsn) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_differing,
+      CAST(SUM(CASE WHEN sa.conv_id IS NOT NULL AND sb.conv_id IS NOT NULL
+                AND sa.text = sb.text AND sa.lsn = sb.lsn THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_equal
+    FROM sa FULL OUTER JOIN sb
+      ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
+    """,
+)
+def cdc_reconcile_midstream_vs_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation through the REAL engine: replay epochs 0-2 into
+    one table, the whole feed into another, then table_diff the two
+    live states — keys deleted late show up as only_a, keys created
+    late as only_b, keys updated late as differing. The oracle
+    recomputes all four counts from the feed with window LWW."""
+    work = tempfile.mkdtemp(prefix="cdc_r_")
+    feed = feed_from_events(spark, sf_dir)
+    ta = TranscriptMergeEngine.create_table(spark, f"{work}/a", num_buckets=16)
+    ea = TranscriptMergeEngine(ta)
+    ea.merge_batch(feed.filter(F.col("commit_epoch") <= 2), epoch=0)
+    tb = TranscriptMergeEngine.create_table(spark, f"{work}/b", num_buckets=16)
+    eb = TranscriptMergeEngine(tb)
+    eb.merge_batch(feed, epoch=0)
+    return table_diff(
+        ea.current_state(),
+        eb.current_state(),
+        keys=["conv_id", "turn_idx"],
+        compare_cols=["text", "lsn"],
+    )
+
+
 _EVOLVE_LSN = 5000  # additive columns appear from this lsn on
 
 
