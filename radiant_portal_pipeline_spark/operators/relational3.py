@@ -109,7 +109,12 @@ def q36_jdbc_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from radiant_portal_pipeline_spark.sources.jdbc import read_jdbc
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q36_')}/fed;create=true"
+    work = tempfile.mkdtemp(prefix="q36_")
+    # Derby writes derby.log into derby.system.home (default: the
+    # JVM's cwd, which a harness may keep read-only) — pin it to the
+    # temp dir BEFORE the engine boots. No-op if Derby already booted.
+    spark._jvm.java.lang.System.setProperty("derby.system.home", work)
+    url = f"jdbc:derby:{work}/fed;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     for t in ("nation", "region"):
         (
