@@ -18,7 +18,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from radiant_portal_pipeline_spark.text.analysis import ws_tokens
@@ -68,6 +68,96 @@ def exact_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The AllPairs/PPJoin prefix-filtering strategy (Bayardo et al.,
+    WWW'07) for the same exact-Jaccard contract as
+    ``exact_jaccard_pairs``: order every document's shingles by a
+    GLOBAL rarity rank and generate candidates only from each
+    document's PREFIX — the first ``|d| - ceil(t*|d|) + 1`` shingles.
+    Any pair with J >= t must share a prefix shingle (if all common
+    shingles sat in both suffixes, |x∩y| <= ceil(t|x|)-1 < t|x| <=
+    t|union|), so recall is exact; candidates are then verified with
+    the full intersection counts. The join input shrinks from every
+    posting to the rare-prefix postings — at 100 TB this is the
+    difference between joining all postings and ~(1-t) of them, with
+    the rarest (shortest) lists doing the candidate generation.
+    Uses the engine's scalable ``sequential_ids`` for the global
+    rarity rank (no single-partition sort)."""
+    from radiant_portal_pipeline_spark.operators.relational import sequential_ids
+
+    sh = word_shingles(docs, k=k)
+    sh = sh.localCheckpoint(eager=True)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        )
+        sh = sh.join(freq_ok.select("shingle"), "shingle", "left_semi")
+        sh = sh.localCheckpoint(eager=True)
+    # global rarity order: (document frequency asc, shingle asc) packed
+    # into one lexicographic key for the range-partitioned ranker
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sequential_ids(
+        freq.withColumn(
+            "_rk", F.format_string("%010d|%s", F.col("df"), F.col("shingle"))
+        ),
+        "_rk",
+        id_col="rank",
+    ).select("shingle", "rank")
+    sized = sh.join(ranked, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("rank")
+    with_pos = (
+        sized.withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .withColumn(
+            "in_prefix",
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
+        )
+    )
+    prefix = with_pos.filter("in_prefix").select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with FULL intersection counts (precision exact)
+    fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))

@@ -183,6 +183,24 @@ def t_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t_ngram_jaccard_prefix", oracle=_NGRAM_PAIRS_SQL)
+def t_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact-Jaccard contract through the AllPairs/PPJoin
+    prefix-filtering strategy (rarity-ranked prefixes generate the
+    candidates, full sets verify — text/dedup.py
+    prefix_filtered_jaccard_pairs). Registered against the IDENTICAL
+    oracle as t_ngram_jaccard_dedup: the gate itself proves the
+    physical strategy is value-equivalent to the direct join. Measured
+    crossover (BENCH.md): at sf0.1 (5k docs, capped postings) the
+    extra rank/prefix/verify passes cost MORE than they save (12.5 s
+    vs 9.6 s) — the prefix win appears when posting lists outgrow the
+    cap, i.e. web-corpus scale; both strategies stay registered."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.prefix_filtered_jaccard_pairs(
+        d, threshold=0.4, k=3, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+
+
 @query(
     "t_dedup_groups",
     oracle=f"""
