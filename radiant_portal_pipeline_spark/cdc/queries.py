@@ -178,34 +178,52 @@ def cdc_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_diff(a: DataFrame, b: DataFrame, keys: list, compare_cols: list) -> DataFrame:
     """Reconciliation operator: one-row summary of how two table states
     differ — keys only in A, only in B, present in both with differing
-    payload, and equal. One full-outer join keyed on the merge key (the
-    shuffle both sides already cluster by); payloads compared via a
-    single concat hash, so the join carries two longs, not wide rows.
+    payload, and equal — plus per-side DUPLICATE-key counts, because a
+    replica carrying a merge key twice is itself the corruption a
+    reconciliation tool must surface (a naive row-level full-outer join
+    would fan out and report plausible-looking totals). Each side is
+    first folded to one row per key (count + an order-independent SUM
+    of row fingerprints), so the join carries two longs per key, not
+    wide rows, and duplicate payload sets still compare exactly.
     This is the ops tool behind the engine's own correctness criterion
     (final-state equality after replay) — run it against a replica,
     a backfill, or a pre-migration snapshot."""
-    def fp(df):
-        return df.select(
-            *keys,
-            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]).alias("_fp"),
+
+    def per_key(df):
+        fp = F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in compare_cols
+            ]
+        )
+        return (
+            df.select(*keys, fp.alias("_fp"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_fp").alias("_fpsum"))
         )
 
-    joined = fp(a).alias("a").join(
-        fp(b).alias("b"),
+    joined = per_key(a).alias("a").join(
+        per_key(b).alias("b"),
         [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
         "full_outer",
     )
-    a_present = F.col("a._fp").isNotNull()
-    b_present = F.col("b._fp").isNotNull()
+    a_present = F.col("a._cnt").isNotNull()
+    b_present = F.col("b._cnt").isNotNull()
+    same = (
+        (F.col("a._fpsum") == F.col("b._fpsum"))
+        & (F.col("a._cnt") == F.col("b._cnt"))
+    )
     return joined.agg(
         F.sum(F.when(a_present & ~b_present, 1).otherwise(0)).cast("long").alias("n_only_a"),
         F.sum(F.when(~a_present & b_present, 1).otherwise(0)).cast("long").alias("n_only_b"),
         F.sum(
-            F.when(a_present & b_present & (F.col("a._fp") != F.col("b._fp")), 1).otherwise(0)
+            F.when(a_present & b_present & ~same, 1).otherwise(0)
         ).cast("long").alias("n_differing"),
         F.sum(
-            F.when(a_present & b_present & (F.col("a._fp") == F.col("b._fp")), 1).otherwise(0)
+            F.when(a_present & b_present & same, 1).otherwise(0)
         ).cast("long").alias("n_equal"),
+        F.sum(F.when(F.col("a._cnt") > 1, 1).otherwise(0)).cast("long").alias("n_dup_keys_a"),
+        F.sum(F.when(F.col("b._cnt") > 1, 1).otherwise(0)).cast("long").alias("n_dup_keys_b"),
     )
 
 
@@ -229,7 +247,9 @@ def table_diff(a: DataFrame, b: DataFrame, keys: list, compare_cols: list) -> Da
            AS BIGINT) AS n_differing,
       CAST(SUM(CASE WHEN sa.conv_id IS NOT NULL AND sb.conv_id IS NOT NULL
                 AND sa.text = sb.text AND sa.lsn = sb.lsn THEN 1 ELSE 0 END)
-           AS BIGINT) AS n_equal
+           AS BIGINT) AS n_equal,
+      CAST(0 AS BIGINT) AS n_dup_keys_a,
+      CAST(0 AS BIGINT) AS n_dup_keys_b
     FROM sa FULL OUTER JOIN sb
       ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
     """,

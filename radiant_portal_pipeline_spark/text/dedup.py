@@ -36,40 +36,33 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     ).filter(F.col("shingle") != "")
 
 
-def exact_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float,
-    k: int = 3,
-    max_shingle_freq: int | None = None,
-) -> DataFrame:
-    """All-pairs n-gram Jaccard via shared-shingle candidates.
-    Candidates have ≥1 common shingle, so recall at any threshold > 0 is
-    exact — this is the oracle-matchable dedup path. Integer counts →
-    double division is engine-identical."""
+def _capped_shingles(
+    docs: DataFrame, k: int, max_shingle_freq: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(materialized shingle postings, per-shingle document frequency),
+    with hot shingles cut when a cap is given. Frequency is computed
+    ONCE — the cap removes whole shingles, so surviving shingles keep
+    their counts, and callers needing ranks reuse this frame instead of
+    re-shuffling the postings."""
     sh = word_shingles(docs, k=k)
-    if max_shingle_freq is not None:
-        # materialize BEFORE the frequency pass: freq + semi-join are
-        # two consumers, and without this the tokenization runs twice
-        sh = sh.localCheckpoint(eager=True)
-        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-    # the (capped) shingle set feeds three plan branches (sizes + both
-    # join sides); materialize once instead of recomputing per branch
+    # materialize BEFORE the frequency pass: freq + joins are multiple
+    # consumers, and without this the tokenization runs per consumer
     sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("df") <= max_shingle_freq)
+        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
+        sh = sh.localCheckpoint(eager=True)
+    return sh, freq
+
+
+def _jaccard_from_shared(
+    shared: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """The ONE definition of the pair-scoring tail (set sizes join +
+    rounded Jaccard + threshold) shared by every candidate strategy —
+    exact/prefix/MinHash must never drift from each other or the
+    common oracle."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -84,6 +77,46 @@ def exact_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _shared_counts_for_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact intersection counts for (doc_a, doc_b) candidate pairs."""
+    fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shared-shingle candidates.
+    Candidates have ≥1 common shingle, so recall at any threshold > 0 is
+    exact — this is the oracle-matchable dedup path. Integer counts →
+    double division is engine-identical."""
+    sh, _freq = _capped_shingles(docs, k, max_shingle_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sizes, threshold)
 
 
 def prefix_filtered_jaccard_pairs(
@@ -108,17 +141,10 @@ def prefix_filtered_jaccard_pairs(
     rarity rank (no single-partition sort)."""
     from radiant_portal_pipeline_spark.operators.relational import sequential_ids
 
-    sh = word_shingles(docs, k=k)
-    sh = sh.localCheckpoint(eager=True)
-    if max_shingle_freq is not None:
-        freq_ok = (
-            sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        )
-        sh = sh.join(freq_ok.select("shingle"), "shingle", "left_semi")
-        sh = sh.localCheckpoint(eager=True)
+    sh, freq = _capped_shingles(docs, k, max_shingle_freq)
     # global rarity order: (document frequency asc, shingle asc) packed
-    # into one lexicographic key for the range-partitioned ranker
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # into one lexicographic key for the range-partitioned ranker —
+    # freq is REUSED from the cap pass, not recomputed
     ranked = sequential_ids(
         freq.withColumn(
             "_rk", F.format_string("%010d|%s", F.col("df"), F.col("shingle"))
@@ -152,28 +178,8 @@ def prefix_filtered_jaccard_pairs(
         .distinct()
     )
     # verify candidates with FULL intersection counts (precision exact)
-    fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        cand.join(fa, "doc_a")
-        .join(fb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    shared = _shared_counts_for_candidates(cand, sh)
+    return _jaccard_from_shared(shared, sizes, threshold)
 
 
 def dedup_groups(
@@ -324,24 +330,8 @@ def minhash_lsh_dedup(
     )
     cands = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    shared = _shared_counts_for_candidates(cands, sh)
+    return _jaccard_from_shared(shared, sizes, threshold)
 
 
 # ----------------------------------------------------------------- SimHash

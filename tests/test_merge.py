@@ -233,3 +233,24 @@ def test_changes_since_prunes_files_and_is_lww_correct(spark, tmp_path):
     # file skipping really pruned: scanned files < live files
     skipped = tbl.live_files(skip={"lsn": (6, None)})
     assert len(skipped) < len(tbl.live_files())
+
+
+def test_table_diff_surfaces_duplicate_keys(spark):
+    """A replica carrying a merge key twice must show up in the diff
+    summary, not fan out into plausible-looking totals (round-2 review
+    finding on the row-level full-outer join)."""
+    from radiant_portal_pipeline_spark.cdc.queries import table_diff
+
+    a = spark.createDataFrame(
+        [("c1", 0, "x", 1), ("c2", 0, "y", 2)],
+        "conv_id string, turn_idx int, text string, lsn long",
+    )
+    b = spark.createDataFrame(
+        # c1 duplicated: one row matches, one diverged; c2 matches
+        [("c1", 0, "x", 1), ("c1", 0, "DIVERGED", 9), ("c2", 0, "y", 2)],
+        "conv_id string, turn_idx int, text string, lsn long",
+    )
+    r = table_diff(a, b, keys=["conv_id", "turn_idx"], compare_cols=["text", "lsn"]).first()
+    assert r["n_dup_keys_b"] == 1 and r["n_dup_keys_a"] == 0
+    assert r["n_differing"] == 1  # c1 payload SETS differ (1 vs 2 rows)
+    assert r["n_equal"] == 1 and r["n_only_a"] == 0 and r["n_only_b"] == 0
