@@ -361,6 +361,36 @@ class TranscriptMergeEngine:
         )
         return parts
 
+    def rescale(self, new_path: str, new_buckets: int) -> "TranscriptMergeEngine":
+        """Re-bucket the table (the cluster grew: bucket count should
+        track executor count, and it is part of the TABLE's identity —
+        rows are placed by pmod(xxhash64(conv_id), buckets), so it
+        cannot be changed in place). One distributed pass: fold the
+        current table to one row per key (tombstones INCLUDED — they
+        must keep guarding against stragglers), recompute the bucket
+        column under the new count, write a fresh table, and carry the
+        per-source applied-epoch watermarks so a resumed stream remains
+        exactly-once against the new table. The old table is left
+        untouched (cutover = repoint readers/writers, then drop)."""
+        spark = self.table.spark
+        new_tbl = TranscriptMergeEngine.create_table(
+            spark, new_path, num_buckets=new_buckets
+        )
+        folded = self.raw_state().drop(S.PART_COL)
+        relaid = folded.withColumn(
+            S.PART_COL, part_expr(self.key_cols[0], new_buckets)
+        ).repartition(new_buckets, F.col(S.PART_COL))
+        new_tbl.append(relaid, layout_ready=True)
+        new_tbl.carry_applied(self.table.snapshot().applied)
+        return TranscriptMergeEngine(
+            new_tbl,
+            source_id=self.source_id,
+            key_cols=tuple(self.key_cols),
+            lsn_col=self.lsn_col,
+            mode=self.mode,
+            merge_plan=self.merge_plan,
+        )
+
     def current_state(self, include_meta: bool = False) -> DataFrame:
         df = self.table.read()
         if self.mode == "mor":

@@ -254,3 +254,32 @@ def test_table_diff_surfaces_duplicate_keys(spark):
     assert r["n_dup_keys_b"] == 1 and r["n_dup_keys_a"] == 0
     assert r["n_differing"] == 1  # c1 payload SETS differ (1 vs 2 rows)
     assert r["n_equal"] == 1 and r["n_only_a"] == 0 and r["n_only_b"] == 0
+
+
+def test_rescale_buckets_preserves_state_and_exactly_once(spark, tmp_path, sf_smoke):
+    """Bucket count is table identity — growing the cluster means a
+    one-pass re-bucketing migration. The new table must hold identical
+    live state (tombstones carried), identify with the new count, and
+    REFUSE epochs the old table already applied (stream resume stays
+    exactly-once across the cutover)."""
+    feed = feed_from_events(spark, sf_smoke)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t8"), num_buckets=8)
+    eng = TranscriptMergeEngine(tbl)
+    eng.merge_batch(feed, epoch=3)
+
+    eng32 = eng.rescale(str(tmp_path / "t32"), new_buckets=32)
+    assert eng32.num_buckets == 32
+    assert eng32.table.snapshot().properties["num_buckets"] == 32
+    old = sorted(map(tuple, eng.current_state().collect()))
+    new = sorted(map(tuple, eng32.current_state().collect()))
+    assert old == new
+    # tombstones survived the migration (raw includes deleted keys)
+    assert eng32.raw_state().filter("_deleted").count() == eng.raw_state().filter(
+        "_deleted"
+    ).count()
+    # epoch guard carried: replaying an applied epoch is a no-op...
+    assert eng32.merge_batch(feed, epoch=3).skipped
+    # ...and new epochs still apply
+    assert not eng32.merge_batch(feed.limit(10), epoch=4).skipped
+    # physical layout really is 32-bucket now
+    assert len(eng32.table.partitions()) > len(eng.table.partitions())
