@@ -147,3 +147,47 @@ def test_feed_files_mtime_ordered_by_epoch(spark, tmp_path):
     )
     epochs = [int(re.match(r"ep-(\d+)-", os.path.basename(f)).group(1)) for f in files]
     assert epochs == sorted(epochs), epochs
+
+
+def test_stream_with_inline_compaction_policy(spark, tmp_path, sf_correct):
+    """The full production loop: streaming merge with the incremental
+    compaction policy running after each batch keeps files/bucket
+    bounded WHILE the stream is live, and the final state still equals
+    the plain LWW fold of the feed."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.dedup import lww_dedup
+    from radiant_portal_pipeline_spark.cdc.feed import feed_from_events
+    from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+    from radiant_portal_pipeline_spark.cdc.stream import (
+        run_cdc_stream,
+        write_feed_partitions,
+    )
+
+    feed = feed_from_events(spark, sf_correct)
+    write_feed_partitions(feed, str(tmp_path / "feed"))
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=8)
+    eng = TranscriptMergeEngine(tbl)
+    run_cdc_stream(
+        spark,
+        str(tmp_path / "feed"),
+        eng,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        on_batch=lambda st: None if st.skipped else eng.compact(min_files_per_bucket=3),
+    )
+    snap = tbl.snapshot()
+    assert max(len(fs) for fs in snap.files.values()) <= 3
+    got = sorted(
+        map(tuple, eng.current_state().select("conv_id", "turn_idx", "lsn").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            lww_dedup(feed, ["conv_id", "turn_idx"], ["lsn"])
+            .filter(F.col("op") != "D")
+            .select("conv_id", "turn_idx", "lsn")
+            .collect(),
+        )
+    )
+    assert got == want
