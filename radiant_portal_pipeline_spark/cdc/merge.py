@@ -371,17 +371,38 @@ class TranscriptMergeEngine:
         column under the new count, write a fresh table, and carry the
         per-source applied-epoch watermarks so a resumed stream remains
         exactly-once against the new table. The old table is left
-        untouched (cutover = repoint readers/writers, then drop)."""
+        untouched (cutover = repoint readers/writers, then drop).
+
+        Data and watermarks are BOTH pinned to ONE snapshot taken up
+        front — capturing the applied map after the (long) copy would
+        mark epochs committed during the migration window as applied
+        without their data (silent loss on resume). If the old table
+        advanced while the migration ran, this raises
+        ConcurrentModification: quiesce the writer (or re-run to pick
+        up the delta) and retry."""
         spark = self.table.spark
+        snap0 = self.table.snapshot()  # pins files AND applied together
         new_tbl = TranscriptMergeEngine.create_table(
             spark, new_path, num_buckets=new_buckets
         )
-        folded = self.raw_state().drop(S.PART_COL)
+        df = self.table.read(version=snap0.version)
+        if self.mode == "mor":
+            df = lww_dedup(df, self.key_cols, [self.lsn_col])
+        folded = df.drop(S.PART_COL)
         relaid = folded.withColumn(
             S.PART_COL, part_expr(self.key_cols[0], new_buckets)
         ).repartition(new_buckets, F.col(S.PART_COL))
         new_tbl.append(relaid, layout_ready=True)
-        new_tbl.carry_applied(self.table.snapshot().applied)
+        new_tbl.carry_applied(snap0.applied)
+        if self.table.latest_version() != snap0.version:
+            from radiant_portal_pipeline_spark.lake.table import (
+                ConcurrentModification,
+            )
+
+            raise ConcurrentModification(
+                f"source table advanced past v{snap0.version} during the "
+                f"rescale — quiesce the writer or re-run to migrate the delta"
+            )
         return TranscriptMergeEngine(
             new_tbl,
             source_id=self.source_id,
@@ -389,6 +410,7 @@ class TranscriptMergeEngine:
             lsn_col=self.lsn_col,
             mode=self.mode,
             merge_plan=self.merge_plan,
+            lineage=self.lineage,
         )
 
     def current_state(self, include_meta: bool = False) -> DataFrame:

@@ -607,7 +607,9 @@ class LakeTable:
             ):
                 return None
             nxt_parts = mutate(snap)
-            applied = dict(snap.applied)
+            # mutate may supply a full applied map (watermark adoption);
+            # the (source_id, epoch) guard args layer on top of it
+            applied = dict(nxt_parts.get("applied", snap.applied))
             if source_id is not None and epoch is not None:
                 applied[source_id] = epoch
             nxt = Snapshot(
@@ -870,30 +872,24 @@ class LakeTable:
         """Adopt per-source applied-epoch watermarks (table migration /
         rescale: the NEW table must refuse exactly the epochs the old
         one already applied, or a resumed stream double-applies).
-        _commit only merges applied via its (source_id, epoch) args, so
-        this runs its own optimistic loop under the same protocol."""
-        for attempt in range(MAX_COMMIT_RETRIES):
-            snap = self.snapshot()
+        Runs through the standard _commit loop — mutate supplies the
+        merged applied map."""
+
+        def mutate(snap: Snapshot):
             merged = dict(snap.applied)
             for src, ep in applied.items():
                 merged[src] = max(merged.get(src, -1), ep)
-            nxt = Snapshot(
-                version=snap.version + 1,
-                schema=snap.schema,
-                partition_col=snap.partition_col,
-                files=None if snap.refs is not None else snap.files,
-                applied=merged,
-                properties=snap.properties,
-                stats=None if snap.refs is not None else snap.stats,
-                refs=snap.refs,
-                blob_loader=self._load_blob,
-            )
-            try:
-                self._write_version(nxt)
-                return nxt
-            except FileExistsError:
-                time.sleep(min(2**attempt, 5) * 0.01 + random.random() * 0.01)
-        raise CommitConflict(f"lost commit race at {self.path}")
+            out = {"schema": snap.schema, "applied": merged}
+            if snap.refs is not None:
+                out["refs"] = snap.refs
+            else:
+                out["files"] = snap.files
+                out["stats"] = snap.stats
+            return out
+
+        snap = self._commit(mutate)
+        assert snap is not None
+        return snap
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop old version files (Iceberg's expire_snapshots): time

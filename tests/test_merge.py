@@ -283,3 +283,29 @@ def test_rescale_buckets_preserves_state_and_exactly_once(spark, tmp_path, sf_sm
     assert not eng32.merge_batch(feed.limit(10), epoch=4).skipped
     # physical layout really is 32-bucket now
     assert len(eng32.table.partitions()) > len(eng.table.partitions())
+
+
+def test_rescale_aborts_if_source_advances_mid_migration(spark, tmp_path):
+    """Epochs committed during the migration window must not be marked
+    applied on the new table without their data — the rescale pins one
+    snapshot and raises if the source advanced past it."""
+    import pytest
+
+    from radiant_portal_pipeline_spark.lake.table import ConcurrentModification
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl)
+    eng.merge_batch(_batch(spark, [_ev("c1", 0, "U", 1, "a")]), epoch=0)
+
+    orig_carry = type(tbl).carry_applied
+
+    def racing_carry(self, applied):
+        # a concurrent writer lands on the OLD table mid-migration
+        eng.merge_batch(_batch(spark, [_ev("c2", 0, "U", 2, "b")]), epoch=1)
+        return orig_carry(self, applied)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(tbl), "carry_applied", racing_carry):
+        with pytest.raises(ConcurrentModification, match="advanced"):
+            eng.rescale(str(tmp_path / "t2"), new_buckets=8)
