@@ -67,6 +67,7 @@ class MergeStats:
     parts_touched: int = 0
     parts: list = None
     seconds: float = 0.0
+    plan: str = ""  # physical plan actually used (adaptive resolves per batch)
 
 
 def part_expr(conv_col: str, num_buckets: int):

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The image/audio codecs are NOT in this container, so the decode step is
-a clearly-marked STUB (``decode_stub``) — everything Spark-side is real
-and tested: the binary column type, the batch iterator signature, the
-output schema contract, and the partition-preserving flow. Swapping the
-stub for PIL/torchaudio is a one-function change on the executors.
+The decode step is REAL: payloads are spec-conformant PNGs and the
+decoder (multimodal/codecs.py decode_png) does a CRC-verified chunk
+walk, multi-IDAT zlib inflate, and full scanline unfiltering — the
+actual work a compressed-media column needs at scale. (Round 1/2
+shipped a declared stub here; it is gone.) Swapping in PIL/torchaudio
+for other formats remains a one-function change on the executors.
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is one
 batch per core, not one partition; binary payloads never pass through
@@ -23,48 +24,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from radiant_portal_pipeline_spark import PKG_PARENT
+from radiant_portal_pipeline_spark.multimodal import codecs as C
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("kind", T.StringType(), False),
-        T.StructField("fake_width", T.IntegerType(), True),
-        T.StructField("fake_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("red_checksum", T.LongType(), False),
     ]
 )
 
 
-def decode_stub(payload: bytes) -> dict:
-    """STUB for a real media decoder (PIL.Image.open / soundfile / ...).
-
-    Deterministic fake: derives "dimensions" from the byte length so
-    tests are stable. A real deployment replaces this body; the Spark
-    plumbing around it does not change.
-    """
-    n = len(payload)
-    return {"width": n % 256, "height": (n * 7) % 256}
-
-
-def extract_media_metadata(binary_df: DataFrame) -> DataFrame:
-    """(doc_id, payload: binary) -> typed metadata via mapInPandas."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            lens = pdf["payload"].map(len)
-            decoded = pdf["payload"].map(decode_stub)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": lens.astype("int32"),
-                    "kind": ["image/fake"] * len(pdf),
-                    "fake_width": decoded.map(lambda d: d["width"]).astype("int32"),
-                    "fake_height": decoded.map(lambda d: d["height"]).astype("int32"),
-                }
-            )
-
-    return binary_df.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """The deterministic per-doc image dimensions (the testdata has no
+    media files, so payloads are synthesized from doc_id; an oracle
+    recomputes expected values from the same arithmetic)."""
+    return doc_id % 24 + 2, doc_id % 17 + 2
 
 
 def to_binary_docs(docs: DataFrame) -> DataFrame:
-    """Treat document text as an opaque media payload (binary column)."""
-    return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    """(doc_id, ...) -> (doc_id, payload: binary) where payload is a
+    REAL zlib-compressed PNG (all five scanline filters exercised)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-side import bootstrap: PKG_PARENT is a plain string
+        # (pickled by value) — referencing the codecs module directly
+        # would make the closure unpicklable on workers whose sys.path
+        # lacks the package (library used from an arbitrary cwd)
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+        from radiant_portal_pipeline_spark.multimodal.binary import png_dims
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        C.synth_png(int(d), *png_dims(int(d))) for d in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+def extract_media_metadata(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) -> typed metadata via a REAL decode
+    (zlib inflate + PNG unfilter) inside mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+        for pdf in it:
+            decoded = [C.decode_png(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "kind": ["image/png"] * len(pdf),
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "red_checksum": [d["red_checksum"] for d in decoded],
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["red_checksum"] = out["red_checksum"].astype("int64")
+            yield out
+
+    return binary_df.mapInPandas(batches, schema=MEDIA_META_SCHEMA)

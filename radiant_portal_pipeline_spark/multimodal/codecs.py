@@ -243,3 +243,157 @@ def parse_bmp(b: bytes) -> dict:
         "top_down": height < 0,
         "data_offset": data_offset,
     }
+
+
+# ------------------------------------------------------------------ PNG
+#
+# The one COMPRESSED format this engine decodes for real (the container
+# parsers above are header walks; PNG adds zlib inflate + the five
+# scanline filters). Dependency-free: zlib ships in the stdlib, the
+# filter math is the spec's. ``decode_png`` would accept any 8-bit
+# truecolor PNG (non-interlaced); the synthesizer exists only because
+# the sandbox has no image files.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png(doc_id: int, width: int, height: int) -> bytes:
+    """Spec-conformant 8-bit RGB PNG with deterministic pixels:
+    red(x, y) = (doc_id + 3x + 7y) % 256 (green/blue derived). Each
+    scanline uses filter type ``y % 5`` — the stream exercises ALL
+    FIVE filters (None/Sub/Up/Average/Paeth), so a decoder with any
+    unfilter bug diverges. The IDAT stream is split across two chunks
+    (real encoders emit many) to force correct concatenation."""
+    import zlib
+
+    raw = bytearray()
+    prev = bytes(width * 3)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            r = (doc_id + 3 * x + 7 * y) % 256
+            line += bytes((r, (r * 5 + x) % 256, (r + x * y) % 256))
+        ft = y % 5
+        raw.append(ft)
+        bpp = 3
+        for i, v in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0  # left, same channel
+            b_ = prev[i]  # up
+            c = prev[i - bpp] if i >= bpp else 0  # upper-left
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = (v - a) % 256
+            elif ft == 2:
+                f = (v - b_) % 256
+            elif ft == 3:
+                f = (v - (a + b_) // 2) % 256
+            else:
+                f = (v - _paeth(a, b_, c)) % 256
+            raw.append(f)
+        prev = bytes(line)
+    comp = zlib.compress(bytes(raw), 6)
+    cut = max(1, len(comp) // 2)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:cut])
+        + _png_chunk(b"IDAT", comp[cut:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> dict:
+    """REAL PNG decode: CRC-verified chunk walk, multi-IDAT zlib
+    inflate, and full scanline unfiltering (all five filter types, the
+    Paeth predictor per the spec). Returns dims + the red-channel
+    checksum of the reconstructed pixels — any inflate, filter or
+    predictor bug diverges it. 8-bit truecolor (color type 2),
+    non-interlaced; anything else raises ValueError."""
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_n, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype_n != 2 or interlace != 0:
+                raise ValueError("only 8-bit truecolor non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("inflated size mismatch")
+    bpp = 3
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, offset=y * (stride + 1) + 1, count=stride
+        )
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:  # Up — vectorizable
+            out[y] = line + prev  # uint8 wraps mod 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            row = out[y]
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    row[i] = (line[i] + a) % 256
+                elif ft == 3:
+                    row[i] = (line[i] + (a + up) // 2) % 256
+                else:
+                    row[i] = (line[i] + _paeth(a, up, c)) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+    pixels = out.reshape(height, width, 3)
+    return {
+        "width": width,
+        "height": height,
+        "red_checksum": int(pixels[:, :, 0].astype(np.int64).sum()),
+    }

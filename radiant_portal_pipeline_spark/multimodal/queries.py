@@ -1,9 +1,11 @@
-"""Registered multimodal-plumbing queries.
+"""Registered multimodal queries.
 
-The mapInPandas "decode" is a deterministic stub (no codecs in this
-container), so its arithmetic is mirrorable in the DuckDB oracle —
-which means the WHOLE Arrow plumbing path (binary encode → batch
-iterator → typed schema out) is value-checked, not just smoke-checked.
+Every decode here is REAL parsing from bytes (container chunk walks,
+PCM DSP, frame sampling, and — m_png_decode — zlib-compressed PNG
+decode with full unfiltering). Payloads are synthesized from doc_id
+because the sandbox has no media files; the DuckDB oracles recompute
+the expected values from the same generator arithmetic, so any parser
+or Arrow-plumbing error diverges the hash.
 """
 
 from __future__ import annotations
@@ -14,23 +16,39 @@ from radiant_portal_pipeline_spark.multimodal.binary import (
     extract_media_metadata,
     to_binary_docs,
 )
+from radiant_portal_pipeline_spark import PKG_PARENT
 from radiant_portal_pipeline_spark.operators.registry import load_table, query
 
 
 @query(
-    "m_media_metadata",
+    "m_png_decode",
     oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 24 + 2 AS INTEGER) AS w,
+             CAST(doc_id % 17 + 2 AS INTEGER) AS h
+      FROM documents)
     SELECT doc_id,
-           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
-           'image/fake' AS kind,
-           CAST(OCTET_LENGTH(ENCODE(text)) % 256 AS INTEGER) AS fake_width,
-           CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 256 AS INTEGER) AS fake_height
-    FROM documents
+           'image/png' AS kind,
+           w AS width,
+           h AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, h), yy ->
+             LIST_SUM(LIST_TRANSFORM(RANGE(0, w), xx ->
+               (doc_id + 3 * xx + 7 * yy) % 256)))) AS BIGINT) AS red_checksum
+    FROM p
     """,
 )
-def m_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → typed metadata through Arrow-batched
-    mapInPandas (decode stubbed; plumbing real — see multimodal/binary.py)."""
+def m_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-media decode (the round-2 gap): each doc gets a
+    spec-conformant PNG (zlib IDAT split across two chunks, scanline
+    filters cycling through None/Sub/Up/Average/Paeth), then the
+    metadata comes from an actual decode — CRC-verified chunk walk,
+    multi-IDAT inflate, full unfiltering with the Paeth predictor
+    (multimodal/codecs.py decode_png) inside Arrow-batched mapInPandas.
+    The oracle recomputes dims + red-channel checksum from the pixel
+    generator arithmetic: any inflate/filter/CRC bug diverges the
+    hash. Reference analog: the row-extraction pods ship their own
+    codec deps (tests/docker/test_docker.py:1-11)."""
     d = load_table(spark, sf_dir, "documents")
     return extract_media_metadata(to_binary_docs(d))
 
@@ -61,13 +79,11 @@ def m_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     format-faithful RIFF chunk-walk / BITMAPINFOHEADER readers
     (multimodal/codecs.py) in one Arrow-batched mapInPandas pass. The
     oracle recomputes the expected metadata arithmetically — any parser
-    or plumbing error diverges the hash. Unlike m_media_metadata's
-    declared stub, nothing here is faked except the payload source."""
+    or plumbing error diverges the hash. Nothing here is faked except
+    the payload source."""
     import pandas as pd
 
     from pyspark.sql import types as T
-
-    from radiant_portal_pipeline_spark.multimodal import codecs as C
 
     schema = T.StructType(
         [
@@ -83,6 +99,15 @@ def m_codec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it):
+        # worker-side import bootstrap (PKG_PARENT pickles by value;
+        # a captured module ref would fail to unpickle on workers
+        # whose sys.path lacks the package)
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+
         rates = [8000, 16000, 44100]
         for pdf in it:
             rows = []
@@ -169,8 +194,6 @@ def m_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from radiant_portal_pipeline_spark.multimodal import codecs as C
-
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -181,6 +204,15 @@ def m_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it):
+        # worker-side import bootstrap (PKG_PARENT pickles by value;
+        # a captured module ref would fail to unpickle on workers
+        # whose sys.path lacks the package)
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -227,8 +259,6 @@ def m_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from radiant_portal_pipeline_spark.multimodal import codecs as C
-
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -239,6 +269,15 @@ def m_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it):
+        # worker-side import bootstrap (PKG_PARENT pickles by value;
+        # a captured module ref would fail to unpickle on workers
+        # whose sys.path lacks the package)
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -287,8 +326,6 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from radiant_portal_pipeline_spark.multimodal import codecs as C
-
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -299,6 +336,15 @@ def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it):
+        # worker-side import bootstrap (PKG_PARENT pickles by value;
+        # a captured module ref would fail to unpickle on workers
+        # whose sys.path lacks the package)
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:

@@ -91,19 +91,42 @@ def test_kmeans_training_converges(spark, sf_correct):
 
 
 def test_media_metadata_matches_direct_compute(spark, sf_correct):
+    """The PNG decode path end-to-end: encode real PNGs in one
+    mapInPandas stage, decode them in another, check dims + checksum
+    against the pixel-generator arithmetic."""
     from radiant_portal_pipeline_spark.multimodal.binary import (
         extract_media_metadata,
+        png_dims,
         to_binary_docs,
     )
 
     docs = load_table(spark, sf_correct, "documents").limit(50)
     got = {
-        r["doc_id"]: (r["n_bytes"], r["fake_width"], r["fake_height"])
+        r["doc_id"]: (r["width"], r["height"], r["red_checksum"])
         for r in extract_media_metadata(to_binary_docs(docs)).collect()
     }
-    for r in docs.select("doc_id", "text").collect():
-        n = len(r["text"].encode("utf-8"))
-        assert got[r["doc_id"]] == (n, n % 256, (n * 7) % 256)
+    for r in docs.select("doc_id").collect():
+        d = r["doc_id"]
+        w, h = png_dims(d)
+        expect = sum((d + 3 * x + 7 * y) % 256 for y in range(h) for x in range(w))
+        assert got[d] == (w, h, expect)
+
+
+def test_png_codec_rejects_corruption():
+    """A real decoder must notice corruption: flip a byte inside IDAT
+    (CRC check) and truncate the stream (chunk-walk bounds)."""
+    import pytest
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    good = C.synth_png(7, 12, 9)
+    assert C.decode_png(good)["width"] == 12
+    corrupted = bytearray(good)
+    corrupted[60] ^= 0xFF  # inside the first IDAT's data
+    with pytest.raises(ValueError):
+        C.decode_png(bytes(corrupted))
+    with pytest.raises(ValueError):
+        C.decode_png(good[: len(good) // 2])
 
 
 def test_dedup_groups_connected_components(spark):
