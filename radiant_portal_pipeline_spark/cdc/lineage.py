@@ -35,6 +35,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_updated", T.LongType(), True),
         T.StructField("rows_deleted", T.LongType(), True),
         T.StructField("merge_ms", T.DoubleType(), True),
+        # resolved physical merge plan + the adaptive chooser's reason,
+        # e.g. "single_exchange(hot_bucket_share=0.031<=2/8)" — the
+        # audit trail for per-batch plan selection (SURVEY ST9)
+        T.StructField("plan", T.StringType(), True),
     ]
 )
 
@@ -57,6 +61,7 @@ class LineageWriter:
         prior_version: int,
         key_cols: list[str],
         lsn_col: str = S.LSN_COL,
+        plan: str = "",
     ) -> None:
         """Append watermarks + I/U/D counts for the touched partitions.
 
@@ -99,6 +104,7 @@ class LineageWriter:
                 "rows_updated",
                 "rows_deleted",
                 F.lit(float(seconds) * 1000.0).alias("merge_ms"),
+                F.lit(plan).alias("plan"),
             )
         )
         self.table.append(wm)

@@ -84,11 +84,11 @@ class TranscriptMergeEngine:
         lsn_col: str = S.LSN_COL,
         mode: str = "mor",
         lineage=None,
-        merge_plan: str = "two_phase",
+        merge_plan: str = "adaptive",
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
-        if merge_plan not in ("two_phase", "single_exchange"):
+        if merge_plan not in ("adaptive", "two_phase", "single_exchange"):
             raise ValueError(f"unknown merge_plan {merge_plan!r}")
         self.table = table
         # The bucket count is part of the TABLE's identity (rows are
@@ -136,7 +136,46 @@ class TranscriptMergeEngine:
 
     # ------------------------------------------------------------------
 
-    def _dedup_and_layout(self, df: DataFrame, keys, order_cols) -> DataFrame:
+    def _choose_plan(self, df: DataFrame) -> tuple[str, str]:
+        """Resolve ``merge_plan="adaptive"`` for ONE batch from a cheap
+        deterministic ~2% key-hash sample: per-bucket event counts give
+        the hot-bucket share. single_exchange wins when no bucket
+        straggles (it moves the raw batch once, no second exchange);
+        two_phase wins when a hot bucket would serialize behind one
+        task or when buckets cap the aggregation below the cluster's
+        parallelism. Decision rule (P = defaultParallelism):
+
+        - num_buckets < P  -> two_phase (agg parallelism would be capped)
+        - max_bucket_share > 2/P -> two_phase (straggler dominates: the
+          hot task holds > 2x its fair share of the batch)
+        - otherwise -> single_exchange
+
+        The sample is one small extra job per batch (hash-deterministic,
+        so replays choose the same plan); an empty sample falls back to
+        the scale-safe two_phase. Returns (plan, reason) — the reason
+        goes to lineage so operators can audit choices."""
+        p = max(int(self.table.spark.sparkContext.defaultParallelism), 1)
+        if self.num_buckets < p:
+            return "two_phase", f"buckets({self.num_buckets})<parallelism({p})"
+        sample = df.filter(
+            F.pmod(F.xxhash64(*self.key_cols, F.lit(17)), F.lit(50)) == 0
+        )
+        row = (
+            sample.groupBy(S.PART_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n").alias("n"), F.max("n").alias("hot"))
+            .head()
+        )
+        if row is None or not row["n"]:
+            return "two_phase", "empty_sample"
+        share = row["hot"] / row["n"]
+        if share > 2.0 / p:
+            return "two_phase", f"hot_bucket_share={share:.3f}>2/{p}"
+        return "single_exchange", f"hot_bucket_share={share:.3f}<=2/{p}"
+
+    def _dedup_and_layout(
+        self, df: DataFrame, keys, order_cols, plan: str | None = None
+    ) -> DataFrame:
         """LWW + write layout, per ``merge_plan``.
 
         ``two_phase`` (default, the scale-safe plan): aggregate FIRST —
@@ -154,18 +193,32 @@ class TranscriptMergeEngine:
         (subset rule) and the aggregation reuses the exchange. One
         exchange total — but it carries the RAW batch with no partial
         reduction, and the hot bucket lands in ONE task (the round-1
-        scaling ceiling). Only wins for low-duplication feeds with
-        buckets >= cores; kept for that profile and for the bench
-        comparison."""
-        if self.merge_plan == "single_exchange":
+        scaling ceiling). Only wins for low-skew feeds with buckets >=
+        cores — which is why ``adaptive`` (the default) picks it per
+        batch from a measured hot-bucket share (_choose_plan) and falls
+        back to two_phase otherwise. Maintenance ops (compact/rescale)
+        pass an explicit plan."""
+        plan = plan or self.merge_plan
+        if plan == "adaptive":  # callers resolve per batch; stay safe here
+            plan = "two_phase"
+        if plan == "single_exchange":
             laid = df.repartition(self.num_buckets, F.col(S.PART_COL))
             return lww_dedup(laid, keys, order_cols)
         deduped = lww_dedup(df, keys, order_cols)
         return deduped.repartition(self.num_buckets, F.col(S.PART_COL))
 
-    def _prepare_batch(self, batch: DataFrame) -> DataFrame:
+    def _prepare_batch(self, batch: DataFrame) -> tuple[DataFrame, str, str]:
         """LWW-dedup the batch, fold op -> tombstone flag, add bucket,
-        lay out for the partitioned write (see _dedup_and_layout)."""
+        lay out for the partitioned write (see _dedup_and_layout).
+        Returns (prepared, plan, reason) — plan is the resolved
+        physical strategy (adaptive picks per batch).
+
+        The envelope is slimmed BEFORE the aggregation: ``op`` folds to
+        the 1-byte tombstone flag and ``commit_epoch`` is dropped
+        up-front, so neither travels through the aggregation exchange
+        (they used to ride both exchanges and be dropped at the end —
+        dead bytes on the wire, and exchange bytes are the scaling
+        ceiling on a memory-bandwidth-bound node)."""
         # data contract: merge keys and lsn must be non-null. Enforced
         # inside the plan (raise_error branch) — no extra pass; the
         # first violating row fails the batch with a clear message.
@@ -182,13 +235,18 @@ class TranscriptMergeEngine:
                 )
             ).cast("int")
         )
-        withPart = batch.withColumn(S.PART_COL, checked_part)
-        deduped = self._dedup_and_layout(
-            withPart, [S.PART_COL, *self.key_cols], [self.lsn_col]
+        slim = (
+            batch.withColumn(S.PART_COL, checked_part)
+            .withColumn(S.DELETED_COL, (F.col("op") == F.lit("D")))
+            .drop("op", "commit_epoch")
         )
-        return deduped.withColumn(
-            S.DELETED_COL, (F.col("op") == F.lit("D"))
-        ).drop("op", "commit_epoch")
+        plan, reason = self.merge_plan, "static"
+        if plan == "adaptive":
+            plan, reason = self._choose_plan(slim)
+        deduped = self._dedup_and_layout(
+            slim, [S.PART_COL, *self.key_cols], [self.lsn_col], plan=plan
+        )
+        return deduped, plan, reason
 
     def merge_batch(self, batch: DataFrame, epoch: int) -> MergeStats:
         t0 = time.time()
@@ -196,7 +254,7 @@ class TranscriptMergeEngine:
         if snap.applied.get(self.source_id, -1) >= epoch:
             return MergeStats(epoch=epoch, skipped=True)
 
-        prepared = self._prepare_batch(batch)
+        prepared, plan, plan_reason = self._prepare_batch(batch)
         lineage_checkpointed = self.lineage is not None
         if lineage_checkpointed:
             prepared = prepared.localCheckpoint(eager=True)
@@ -213,8 +271,9 @@ class TranscriptMergeEngine:
                 parts_touched=len(parts),
                 parts=parts,
                 seconds=time.time() - t0,
+                plan=plan,
             )
-            self._record_lineage(stats, prepared, snap.version)
+            self._record_lineage(stats, prepared, snap.version, plan_reason)
             return stats
 
         # ---- copy-on-write: fused union + LWW over touched buckets
@@ -226,7 +285,10 @@ class TranscriptMergeEngine:
                 prepared, source_id=self.source_id, epoch=epoch
             )
             return MergeStats(
-                epoch=epoch, skipped=result is None, seconds=time.time() - t0
+                epoch=epoch,
+                skipped=result is None,
+                seconds=time.time() - t0,
+                plan=plan,
             )
 
         existing = self.table.read(partitions=parts, version=snap.version)
@@ -236,6 +298,7 @@ class TranscriptMergeEngine:
             src.unionByName(tgt, allowMissingColumns=True),
             [S.PART_COL, *self.key_cols],
             [self.lsn_col, _SRC_RANK],
+            plan=plan,
         ).drop(_SRC_RANK)
         result = self.table.overwrite_partitions(
             merged,
@@ -251,11 +314,14 @@ class TranscriptMergeEngine:
             parts_touched=len(parts),
             parts=parts,
             seconds=time.time() - t0,
+            plan=plan,
         )
-        self._record_lineage(stats, prepared, snap.version)
+        self._record_lineage(stats, prepared, snap.version, plan_reason)
         return stats
 
-    def _record_lineage(self, stats: MergeStats, prepared, prior_version: int):
+    def _record_lineage(
+        self, stats: MergeStats, prepared, prior_version: int, plan_reason: str = ""
+    ):
         if self.lineage is None or stats.skipped or not stats.parts:
             return
         # raw_state semantics need the LWW over tombstones too, so the
@@ -270,6 +336,7 @@ class TranscriptMergeEngine:
             prior_version=prior_version,
             key_cols=self.key_cols,
             lsn_col=self.lsn_col,
+            plan=(f"{stats.plan}({plan_reason})" if plan_reason else stats.plan),
         )
 
     # ------------------------------------------------------------------

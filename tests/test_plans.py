@@ -66,7 +66,7 @@ def test_merge_prepare_two_phase_keeps_partial_aggregation(spark):
     is repartitioned by bucket."""
     feed = synthetic_feed(spark, 1000)
     plan = plan_of(
-        TranscriptMergeEngine._prepare_batch(_bare_engine("two_phase"), feed),
+        TranscriptMergeEngine._prepare_batch(_bare_engine("two_phase"), feed)[0],
         mode="simple",
     )
     assert plan.count("Exchange") == 2, plan
@@ -85,7 +85,7 @@ def test_merge_prepare_single_exchange_variant(spark):
     (subset-clustering rule)."""
     feed = synthetic_feed(spark, 1000)
     plan = plan_of(
-        TranscriptMergeEngine._prepare_batch(_bare_engine("single_exchange"), feed),
+        TranscriptMergeEngine._prepare_batch(_bare_engine("single_exchange"), feed)[0],
         mode="simple",
     )
     assert plan.count("Exchange") == 1, plan
@@ -196,3 +196,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_adaptive_plan_selection(spark, tmp_path):
+    """The adaptive default resolves per batch from the measured
+    hot-bucket share: a 50%-hot feed must pick two_phase (straggler
+    defense), a uniform feed single_exchange (one exchange, buckets >=
+    parallelism), and the choice must land in MergeStats and lineage."""
+    from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+
+    p = spark.sparkContext.defaultParallelism
+    buckets = max(64, 2 * p)
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t"), num_buckets=buckets
+    )
+    lineage = LineageWriter(spark, str(tmp_path / "lin"))
+    eng = TranscriptMergeEngine(tbl, lineage=lineage)  # adaptive default
+
+    hot = synthetic_feed(spark, 30_000, hot_every=2)  # 50% to one conv
+    st_hot = eng.merge_batch(hot, epoch=0)
+    assert st_hot.plan == "two_phase", st_hot
+
+    uniform = synthetic_feed(spark, 30_000, n_convs=5000, hot_every=10**9)
+    st_uni = eng.merge_batch(uniform, epoch=1)
+    assert st_uni.plan == "single_exchange", st_uni
+
+    plans = {
+        r["batch_id"]: r["plan"]
+        for r in lineage.read().select("batch_id", "plan").distinct().collect()
+    }
+    assert plans[0].startswith("two_phase(")
+    assert plans[1].startswith("single_exchange(")
+
+
+def test_adaptive_caps_below_parallelism_stays_two_phase(spark, tmp_path):
+    """buckets < cluster parallelism would cap the single-exchange
+    aggregation — adaptive must refuse it regardless of skew."""
+    p = spark.sparkContext.defaultParallelism
+    if p < 2:
+        return
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t2"), num_buckets=max(2, p // 2)
+    )
+    eng = TranscriptMergeEngine(tbl)
+    st = eng.merge_batch(
+        synthetic_feed(spark, 5_000, n_convs=5000, hot_every=10**9), epoch=0
+    )
+    assert st.plan == "two_phase"
