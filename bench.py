@@ -164,6 +164,38 @@ def ivf_split(spark, sf_dir: str) -> dict:
     }
 
 
+def durability_compare(sf_dir: str, cpus: int) -> dict:
+    """Overhead of the executor-loss-safe iterative checkpointing
+    (IterCheckpointer durable=True -> parquet rounds) vs the default
+    localCheckpoint, on the real dedup_groups workload."""
+    from radiant_portal_pipeline_spark.checkpoint import IterCheckpointer
+    from radiant_portal_pipeline_spark.session import get_spark
+    from radiant_portal_pipeline_spark.text import dedup as D
+
+    spark = get_spark(
+        app_name="bench_durability", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.exact_jaccard_pairs(
+        docs, threshold=0.4, k=3, max_shingle_freq=50
+    ).localCheckpoint(eager=True)  # pair generation excluded from timing
+    out = {}
+    for label, ck in (
+        ("localCheckpoint", None),
+        ("durable_parquet", IterCheckpointer(
+            durable=True, base_dir=tempfile.mkdtemp(prefix="bench_cc_"))),
+    ):
+        t0 = time.time()
+        n = D.dedup_groups(pairs, ck=ck).count()
+        out[label] = {"seconds": round(time.time() - t0, 3), "nodes": n}
+        if ck is not None:
+            ck.close()
+    lc, dp = out["localCheckpoint"]["seconds"], out["durable_parquet"]["seconds"]
+    out["overhead_pct"] = round(100.0 * (dp - lc) / lc, 1) if lc else None
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--merge-only", action="store_true")
@@ -180,6 +212,10 @@ def main() -> None:
         "--plan-compare", action="store_true",
         help="run plans x skew-levels at --cpus and print one JSON table",
     )
+    ap.add_argument(
+        "--durability-compare", action="store_true",
+        help="time dedup_groups with local vs durable checkpointing",
+    )
     args = ap.parse_args()
 
     if args.merge_only:
@@ -191,6 +227,11 @@ def main() -> None:
                 )
             )
         )
+        return
+
+    if args.durability_compare:
+        print(json.dumps({"metric": "durability_compare", "cpus": args.cpus,
+                          **durability_compare(SF_DIR, args.cpus)}))
         return
 
     if args.plan_compare:

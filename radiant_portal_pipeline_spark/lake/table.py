@@ -904,17 +904,45 @@ class LakeTable:
             removed += 1
         return removed
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files not referenced by ANY remaining snapshot
         (run expire_snapshots first to bound the live set), and remove
         whole dead commit directories — including their _SUCCESS /
         Hadoop .crc droppings, which would otherwise keep one directory
-        tree alive per commit forever. Single-writer maintenance op.
+        tree alive per commit forever.
         Version files and manifest blobs go through the commit
         protocol; DATA files are deleted with local fs ops — they are
         written by Spark to the table path's (shared) filesystem
         regardless of which protocol holds the version log.
-        Returns the number of parquet data files removed."""
+
+        ``grace_seconds`` (Iceberg orphan-file style): a concurrent
+        committer publishes data files and manifest blobs BEFORE its
+        version file, so anything unreferenced but younger than the
+        grace window may belong to an in-flight commit and is KEPT —
+        deleting it would let the commit land with dangling refs
+        (silent data loss on every later read). Age comes from fs
+        mtime (object stores expose Last-Modified the same way); an
+        unstattable path is treated as young. Pass 0 only when writers
+        are known quiesced. Returns the number of parquet data files
+        removed."""
+        now = time.time()
+
+        def _young(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) < grace_seconds
+            except OSError:
+                return True  # can't stat -> assume in-flight, keep
+
+        def _tree_young(root: str) -> bool:
+            if _young(root):
+                return True
+            for dirpath, _d, fns in os.walk(root):
+                if _young(dirpath) or any(
+                    _young(os.path.join(dirpath, f)) for f in fns
+                ):
+                    return True
+            return False
+
         snaps = [
             self.snapshot(v) for v in _versions(self.path, self.commit_protocol)
         ]
@@ -932,7 +960,11 @@ class LakeTable:
         except FileNotFoundError:
             blob_names = []
         for fn in blob_names:
-            if fn.endswith(".json") and fn not in live_blobs:
+            if (
+                fn.endswith(".json")
+                and fn not in live_blobs
+                and not _young(os.path.join(mdir, fn))
+            ):
                 self.commit_protocol.delete(os.path.join(mdir, fn))
                 self._blob_cache.pop(fn, None)
         live_commit_dirs = {os.path.normpath(f).split(os.sep)[1] for f in live}
@@ -943,6 +975,8 @@ class LakeTable:
             if not os.path.isdir(cdir):
                 continue
             if entry not in live_commit_dirs:
+                if _tree_young(cdir):
+                    continue  # possibly an in-flight commit's files
                 # whole commit is dead: count its parquet files, drop the tree
                 for dirpath, _d, filenames in os.walk(cdir):
                     removed += sum(1 for f in filenames if f.endswith(".parquet"))
@@ -952,7 +986,11 @@ class LakeTable:
             for dirpath, _d, filenames in os.walk(cdir, topdown=False):
                 for fn in filenames:
                     rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    if fn.endswith(".parquet") and os.path.normpath(rel) not in live:
+                    if (
+                        fn.endswith(".parquet")
+                        and os.path.normpath(rel) not in live
+                        and not _young(os.path.join(dirpath, fn))
+                    ):
                         os.remove(os.path.join(dirpath, fn))
                         removed += 1
         return removed

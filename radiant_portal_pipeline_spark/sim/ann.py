@@ -156,6 +156,7 @@ def lsh_vector_near_dup_pairs(
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    ck=None,
 ) -> DataFrame:
     """Candidate pairs from the hyperplane band join, verified by the
     exact quantized cosine — precision exact, recall set by the
@@ -167,7 +168,10 @@ def lsh_vector_near_dup_pairs(
     pairs (never the 64-element vectors — the round-1 lesson from
     s_embedding_near_dup_pairs), and norms are computed once per
     vector, not per pair (cosine_from_parts)."""
-    banded = hyperplane_bands(vectors, vec_col, id_col).localCheckpoint(eager=True)
+    from radiant_portal_pipeline_spark.checkpoint import IterCheckpointer
+
+    ck = ck or IterCheckpointer()  # durable=True on a real cluster
+    banded = ck.cut(hyperplane_bands(vectors, vec_col, id_col))
     slim = banded.select(id_col, "band_id", "band_val")
     a, b = slim.alias("a"), slim.alias("b")
     cand = (

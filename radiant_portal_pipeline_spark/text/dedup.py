@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from radiant_portal_pipeline_spark.checkpoint import IterCheckpointer
+
 from radiant_portal_pipeline_spark.text.analysis import ws_tokens
 
 
@@ -37,22 +39,28 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
 
 
 def _capped_shingles(
-    docs: DataFrame, k: int, max_shingle_freq: int | None
+    docs: DataFrame,
+    k: int,
+    max_shingle_freq: int | None,
+    ck: "IterCheckpointer | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(materialized shingle postings, per-shingle document frequency),
     with hot shingles cut when a cap is given. Frequency is computed
     ONCE — the cap removes whole shingles, so surviving shingles keep
     their counts, and callers needing ranks reuse this frame instead of
-    re-shuffling the postings."""
+    re-shuffling the postings. ``ck`` selects how the multi-consumer
+    materialization cuts lineage (durable parquet on a cluster vs
+    executor-local blocks — see checkpoint.IterCheckpointer)."""
+    ck = ck or IterCheckpointer()
     sh = word_shingles(docs, k=k)
     # materialize BEFORE the frequency pass: freq + joins are multiple
     # consumers, and without this the tokenization runs per consumer
-    sh = sh.localCheckpoint(eager=True)
+    sh = ck.cut(sh)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_shingle_freq is not None:
         freq = freq.filter(F.col("df") <= max_shingle_freq)
-        sh = sh.join(freq.select("shingle"), "shingle", "left_semi")
-        sh = sh.localCheckpoint(eager=True)
+        # the uncapped postings stay alive: freq reads them lazily
+        sh = ck.cut(sh.join(freq.select("shingle"), "shingle", "left_semi"))
     return sh, freq
 
 
@@ -187,6 +195,7 @@ def dedup_groups(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iters: int = 50,
+    ck: "IterCheckpointer | None" = None,
 ) -> DataFrame:
     """Duplicate-GROUP resolution: connected components over a near-dup
     pair graph via iterated min-label propagation, pure DataFrame ops.
@@ -200,12 +209,16 @@ def dedup_groups(
     (node, label) where label = min doc_id of the component — the
     keeper (reference analog: the hash-identity keeper pattern,
     variant_lookup_insert_hashes.sql:1-6).
+
+    ``ck``: pass IterCheckpointer(durable=True, base_dir=...) on a real
+    cluster so the per-round materializations survive executor loss
+    (localCheckpoint blocks have no lineage to recompute — the round-2
+    durability gap); default stays executor-local for local mode.
     """
+    ck = ck or IterCheckpointer()
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every iteration
+    edges = ck.cut(  # reused every iteration
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -216,11 +229,8 @@ def dedup_groups(
         nbr = edges.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
-        new_labels = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # cut the iterative lineage
+        new_labels = ck.cut(  # cut the iterative lineage
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
         # min-label propagation is MONOTONE (labels only decrease), so
         # convergence == the label sum stopped moving — one tiny agg
@@ -248,10 +258,10 @@ def dedup_groups(
         # superseded checkpoint's storage blocks, else O(iters x |V|)
         # blocks stay pinned for the life of the job
         if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+            ck.release(prev_ckpt)
         prev_ckpt, labels = labels, new_labels
         if converged:
-            edges.unpersist()
+            ck.release(edges)
             return labels
         prev_sum = prev_sum_next
     raise RuntimeError(f"dedup_groups did not converge in {max_iters} rounds")
@@ -320,7 +330,7 @@ def minhash_lsh_dedup(
     """LSH candidates verified by exact Jaccard on the candidate set
     only (candidate pruning is the scale path; the verify join keeps
     precision exact)."""
-    sh = word_shingles(docs, k=k).localCheckpoint(eager=True)
+    sh = word_shingles(docs, k=k).localCheckpoint(eager=True)  # single-pass: local cut is fine
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(N_HASHES)

@@ -104,7 +104,7 @@ def test_vacuum_removes_dead_commit_dirs_entirely(spark, tmp_path):
     data_root = os.path.join(path, "data")
     assert len(os.listdir(data_root)) == 2  # two commit dirs
     tbl.expire_snapshots(keep_last=1)
-    removed = tbl.vacuum()
+    removed = tbl.vacuum(grace_seconds=0)
     assert removed == 1
     live_dirs = os.listdir(data_root)
     assert len(live_dirs) == 1  # dead commit dir fully gone, crc and all
@@ -163,3 +163,40 @@ def test_split_disjoint_overwrites_rebase_cleanly(spark, tmp_path):
 
     rows = {tuple(r) for r in LakeTable(spark, path).read().collect()}
     assert rows == {("new0", 1, 0), ("new1", 1, 1)}
+
+
+def test_vacuum_grace_keeps_inflight_commit_artifacts(spark, tmp_path):
+    """A concurrent committer publishes data files + manifest blobs
+    BEFORE its version file; vacuum running in that window must keep
+    them (age-based grace), else the commit lands with dangling refs.
+    Simulated by hand-placing young unreferenced files."""
+    import os
+
+    path = str(tmp_path / "t")
+    tbl = LakeTable.create(
+        spark, path, SCHEMA, "part", properties={"manifest_split": True}
+    )
+    tbl.append(spark.createDataFrame([("a", 1, 0)], SCHEMA))
+
+    # "in-flight" artifacts: an unreferenced data dir + manifest blob
+    stray_dir = os.path.join(path, "data", "inflight-commit")
+    os.makedirs(stray_dir)
+    stray_parquet = os.path.join(stray_dir, "part-0.parquet")
+    open(stray_parquet, "wb").write(b"x")
+    mdir = os.path.join(path, "_log", "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    stray_blob = os.path.join(mdir, "m-deadbeef.json")
+    open(stray_blob, "w").write("{}")
+
+    tbl.vacuum()  # default grace: everything young survives
+    assert os.path.exists(stray_parquet)
+    assert os.path.exists(stray_blob)
+
+    # age them past the grace window -> now they are orphans
+    old = 1_000_000_000
+    os.utime(stray_parquet, (old, old))
+    os.utime(stray_dir, (old, old))
+    os.utime(stray_blob, (old, old))
+    tbl.vacuum()
+    assert not os.path.exists(stray_parquet)
+    assert not os.path.exists(stray_blob)

@@ -48,11 +48,11 @@ def test_time_travel_expire_vacuum(spark, tmp_path):
     tbl.overwrite_partitions(_df(spark, [("a2", 2, 0)]))
     assert [tuple(r) for r in tbl.read(version=1).collect()] == [("a", 1, 0)]
     # v1's file is still referenced by snapshot v1 -> vacuum keeps it
-    assert tbl.vacuum() == 0
+    assert tbl.vacuum(grace_seconds=0) == 0
     assert [tuple(r) for r in tbl.read(version=1).collect()] == [("a", 1, 0)]
     # expire old snapshots, then vacuum reclaims the orphaned file
     assert tbl.expire_snapshots(keep_last=1) == 2  # v0, v1 dropped
-    assert tbl.vacuum() == 1
+    assert tbl.vacuum(grace_seconds=0) == 1
     assert [tuple(r) for r in tbl.read().collect()] == [("a2", 2, 0)]
     with pytest.raises(FileNotFoundError):
         tbl.read(version=1).collect()
@@ -275,7 +275,7 @@ def test_split_manifest_vacuum_gcs_blobs(spark, tmp_path):
     mdir = os.path.join(tbl.path, "_log", "manifests")
     n_before = len(os.listdir(mdir))
     tbl.expire_snapshots(keep_last=1)
-    tbl.vacuum()
+    tbl.vacuum(grace_seconds=0)
     n_after = len(os.listdir(mdir))
     assert n_after < n_before  # v1's blob collected
     assert {tuple(r) for r in tbl.read().collect()} == {("a2", 2, 0)}
@@ -318,7 +318,7 @@ def test_maintenance_ops_honor_commit_protocol(spark, tmp_path):
     tbl.append(_df(spark, [("a", 1, 0)]))
     tbl.overwrite_partitions(_df(spark, [("a2", 2, 0)]))
     # vacuum with all versions alive: the superseded data file survives
-    assert tbl.vacuum() == 0
+    assert tbl.vacuum(grace_seconds=0) == 0
     assert tbl.expire_snapshots(keep_last=1) == 2
-    assert tbl.vacuum() == 1  # now v1's file goes; current data intact
+    assert tbl.vacuum(grace_seconds=0) == 1  # now v1's file goes; current data intact
     assert [tuple(r) for r in tbl.read().collect()] == [("a2", 2, 0)]

@@ -328,3 +328,36 @@ def test_y4m_frame_sampling_roundtrip_and_reject_garbage():
     assert s["y_checksum"] == want
     with pytest.raises(ValueError):
         C.sample_y4m_frames(b"\x00" * 32)
+
+
+def test_dedup_groups_durable_checkpointing(spark, tmp_path):
+    """durable=True materializes every round to storage (executor-loss
+    safe on a cluster) and must produce the identical components; the
+    checkpointer must clean superseded rounds and close() the rest."""
+    import os
+
+    from radiant_portal_pipeline_spark.checkpoint import IterCheckpointer
+    from radiant_portal_pipeline_spark.text.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    base = str(tmp_path / "cc")
+    ck = IterCheckpointer(durable=True, base_dir=base)
+    got = {(r["node"], r["label"]) for r in dedup_groups(pairs, ck=ck).collect()}
+    want = {(r["node"], r["label"]) for r in dedup_groups(pairs).collect()}
+    assert got == want
+    # the final labels frame is still held (durable files backing it)
+    assert any(d.startswith("cut-") for d in os.listdir(base))
+    ck.close()
+    assert not any(os.listdir(os.path.join(base, d)) for d in os.listdir(base)) or not os.listdir(base)
+
+
+def test_iter_checkpointer_requires_base_dir():
+    import pytest
+
+    from radiant_portal_pipeline_spark.checkpoint import IterCheckpointer
+
+    with pytest.raises(ValueError):
+        IterCheckpointer(durable=True)
