@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class AffinityConflict(ValueError):
@@ -51,8 +52,13 @@ class AssignerState:
 
 
 class AffinityPartitionAssigner:
-    def __init__(self, strategies: list[Strategy]):
+    def __init__(self, strategies: list[Strategy], max_delta_rows: int = 100_000):
         self.strategies = {s.name: s for s in strategies}
+        # stateful occupancy assignment folds the delta SEQUENTIALLY on
+        # the driver (the reference's counters are inherently serial);
+        # the cap turns "driver OOM three hours in" into an immediate,
+        # actionable error
+        self.max_delta_rows = int(max_delta_rows)
 
     def bootstrap(self, assigned: DataFrame) -> AssignerState:
         """``assigned``: (affinity_key, strategy, part) current state."""
@@ -211,6 +217,14 @@ class AffinityPartitionAssigner:
         rows = delta.select(id_col, "strategy", *dims).orderBy(
             "strategy", id_col
         ).collect()  # per-batch delta: small by design (see docstring)
+        if len(rows) > self.max_delta_rows:
+            raise ValueError(
+                f"assign_multi got a {len(rows)}-row delta; stateful "
+                f"occupancy assignment is a DRIVER-side sequential fold "
+                f"(the reference's design) capped at "
+                f"{self.max_delta_rows} rows per batch — split the "
+                f"delta into smaller batches or raise max_delta_rows"
+            )
 
         state = self.bootstrap(None)
         if assigned is not None:
@@ -269,8 +283,16 @@ class AffinityPartitionAssigner:
                     batch_bindings[(strategy, d, str(k))] = part
             out[rid] = part
 
-        entries = []
-        for rid, p in out.items():
-            entries += [F.lit(rid), F.lit(p)]
-        lookup = F.create_map(*entries) if entries else F.create_map()
-        return delta.withColumn("part", lookup[F.col(id_col)].cast("int"))
+        # map assignments back via a broadcast join, NOT a literal
+        # create_map: a map expression embeds O(rows) literals in the
+        # plan (Catalyst expression-size limits, driver memory); the
+        # broadcast frame ships once per executor
+        spark = delta.sparkSession
+        id_field = delta.schema[id_col]
+        schema = T.StructType(
+            [id_field, T.StructField("part", T.IntegerType(), False)]
+        )
+        assignments = spark.createDataFrame(
+            [(rid, int(p)) for rid, p in out.items()], schema
+        )
+        return delta.join(F.broadcast(assignments), id_col, "left")

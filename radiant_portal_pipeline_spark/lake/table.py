@@ -131,6 +131,55 @@ class PosixCommitProtocol(CommitProtocol):
         os.remove(target)
 
 
+class InMemoryCommitProtocol(CommitProtocol):
+    """Second, non-POSIX implementation of the contract — a conditional-
+    PUT object store in memory (S3 ``If-None-Match: *`` semantics over a
+    dict, strongly consistent LIST). Exists to prove the lake's
+    transactionality rests ONLY on the CommitProtocol contract, not on
+    POSIX details, and to let tests inject races deterministically:
+    ``inject_before_put(store, target)`` runs inside the store lock
+    right before the existence check — a hook can publish a competing
+    name there and force the exact lost-update interleaving optimistic
+    commits must survive. Share ONE instance across every handle of a
+    table (the dict IS the store)."""
+
+    def __init__(self, inject_before_put=None):
+        import threading
+
+        self._store: dict[str, bytes] = {}
+        self._lock = threading.RLock()  # RLock: hooks may publish
+        self.inject_before_put = inject_before_put
+
+    def publish(self, target: str, data: bytes) -> None:
+        with self._lock:
+            if self.inject_before_put is not None:
+                hook, self.inject_before_put = self.inject_before_put, None
+                hook(self, target)  # one-shot: re-arm explicitly if needed
+            if target in self._store:
+                raise FileExistsError(target)
+            self._store[target] = bytes(data)
+
+    def read(self, target: str) -> str:
+        try:
+            return self._store[target].decode()
+        except KeyError:
+            raise FileNotFoundError(target) from None
+
+    def list_names(self, directory: str) -> list[str]:
+        prefix = directory.rstrip("/") + "/"
+        return [
+            t[len(prefix):]
+            for t in self._store
+            if t.startswith(prefix) and "/" not in t[len(prefix):]
+        ]
+
+    def delete(self, target: str) -> None:
+        with self._lock:
+            if target not in self._store:
+                raise FileNotFoundError(target)
+            del self._store[target]
+
+
 class ConcurrentModification(RuntimeError):
     """Raised when a partition-replace commit discovers the partitions
     it computed from were modified by a concurrent commit — the caller

@@ -12,7 +12,16 @@ import pyspark.sql.types as T
 import pytest
 
 from radiant_portal_pipeline_spark.lake import LakeTable
-from radiant_portal_pipeline_spark.lake.table import ConcurrentModification
+from radiant_portal_pipeline_spark.lake.table import (
+    ConcurrentModification,
+    InMemoryCommitProtocol,
+)
+
+
+def _proto(kind):
+    """One shared protocol instance per table (the in-memory dict IS
+    the store); None = the POSIX default."""
+    return InMemoryCommitProtocol() if kind == "memory" else None
 
 SCHEMA = T.StructType(
     [
@@ -23,13 +32,19 @@ SCHEMA = T.StructType(
 )
 
 
-def test_racing_appends_all_land(spark, tmp_path):
+@pytest.mark.parametrize("proto_kind", ["posix", "memory"])
+def test_racing_appends_all_land(spark, tmp_path, proto_kind):
+    """Same racing-writer guarantees over BOTH CommitProtocol
+    implementations — the transactionality must rest on the contract
+    (conditional PUT + consistent LIST), not on POSIX details."""
     path = str(tmp_path / "t")
-    LakeTable.create(spark, path, SCHEMA, "part")
+    proto = _proto(proto_kind)
+    LakeTable.create(spark, path, SCHEMA, "part", commit_protocol=proto)
     n_writers, rows_each = 6, 5
 
     def writer(i: int) -> int:
-        tbl = LakeTable(spark, path)  # separate handle per "writer"
+        # separate handle per "writer"; in-memory handles share the store
+        tbl = LakeTable(spark, path, commit_protocol=proto)
         df = spark.createDataFrame(
             [(f"w{i}-{j}", i * 100 + j, i % 3) for j in range(rows_each)], SCHEMA
         )
@@ -41,30 +56,36 @@ def test_racing_appends_all_land(spark, tmp_path):
 
     # every commit landed under its own version; all rows present
     assert sorted(versions) == list(range(1, n_writers + 1))
-    tbl = LakeTable(spark, path)
+    tbl = LakeTable(spark, path, commit_protocol=proto)
     assert tbl.read().count() == n_writers * rows_each
     ks = {r["k"] for r in tbl.read().select("k").collect()}
     assert len(ks) == n_writers * rows_each
 
 
-def test_racing_partition_overwrites_disjoint(spark, tmp_path):
+@pytest.mark.parametrize("proto_kind", ["posix", "memory"])
+def test_racing_partition_overwrites_disjoint(spark, tmp_path, proto_kind):
     """Writers replacing DISJOINT partitions rebase cleanly — neither
-    clobbers the other's partition (partition-swap isolation)."""
+    clobbers the other's partition (partition-swap isolation) — over
+    both protocol implementations."""
     path = str(tmp_path / "t")
-    tbl0 = LakeTable.create(spark, path, SCHEMA, "part")
+    proto = _proto(proto_kind)
+    tbl0 = LakeTable.create(spark, path, SCHEMA, "part", commit_protocol=proto)
     tbl0.append(
         spark.createDataFrame([("seed0", 0, 0), ("seed1", 0, 1)], SCHEMA)
     )
 
     def overwrite(part: int):
-        tbl = LakeTable(spark, path)
+        tbl = LakeTable(spark, path, commit_protocol=proto)
         df = spark.createDataFrame([(f"new{part}", part, part)], SCHEMA)
         return tbl.overwrite_partitions(df).version
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         list(ex.map(overwrite, [0, 1]))
 
-    rows = {tuple(r) for r in LakeTable(spark, path).read().collect()}
+    rows = {
+        tuple(r)
+        for r in LakeTable(spark, path, commit_protocol=proto).read().collect()
+    }
     assert rows == {("new0", 0, 0), ("new1", 1, 1)}
 
 
@@ -200,3 +221,69 @@ def test_vacuum_grace_keeps_inflight_commit_artifacts(spark, tmp_path):
     tbl.vacuum()
     assert not os.path.exists(stray_parquet)
     assert not os.path.exists(stray_blob)
+
+
+def test_inmemory_protocol_contract():
+    """The raw conditional-PUT contract: create-if-absent, durable read,
+    consistent prefix list, delete."""
+    proto = InMemoryCommitProtocol()
+    proto.publish("/t/_log/v0.json", b"a")
+    with pytest.raises(FileExistsError):
+        proto.publish("/t/_log/v0.json", b"b")
+    assert proto.read("/t/_log/v0.json") == "a"
+    proto.publish("/t/_log/v1.json", b"c")
+    assert sorted(proto.list_names("/t/_log")) == ["v0.json", "v1.json"]
+    proto.delete("/t/_log/v0.json")
+    assert proto.list_names("/t/_log") == ["v1.json"]
+    with pytest.raises(FileNotFoundError):
+        proto.read("/t/_log/v0.json")
+
+
+def test_injected_race_forces_rebase_and_both_commits_land(spark, tmp_path):
+    """Deterministic lost-update interleaving: the hook publishes a
+    competing version INSIDE the store lock right before writer A's
+    PUT, so A MUST lose exactly once, rebase, and land at the next
+    version — no retry luck involved."""
+    path = str(tmp_path / "t")
+    proto = InMemoryCommitProtocol()
+    LakeTable.create(spark, path, SCHEMA, "part", commit_protocol=proto)
+    tbl = LakeTable(spark, path, commit_protocol=proto)
+
+    rival_rows = spark.createDataFrame([("rival", 1, 0)], SCHEMA)
+    rival = LakeTable(spark, path, commit_protocol=proto)
+
+    state = {"fired": False}
+
+    def hook(store, target):
+        # publish the rival's commit at the exact name the victim wants
+        state["fired"] = True
+        rival.append(rival_rows)
+
+    proto.inject_before_put = hook
+    snap = tbl.append(spark.createDataFrame([("victim", 2, 0)], SCHEMA))
+    assert state["fired"]
+    assert snap.version == 2  # lost v1 to the rival, rebased onto it
+    ks = {r["k"] for r in tbl.read().collect()}
+    assert ks == {"rival", "victim"}
+
+
+def test_merge_engine_runs_on_inmemory_protocol(spark, tmp_path):
+    """The CDC engine end-to-end over the non-POSIX protocol: the whole
+    lake stack (snapshots, manifests, epoch guards) is backend-agnostic."""
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+
+    proto = InMemoryCommitProtocol()
+    path = str(tmp_path / "cdc")
+    tbl = LakeTable.create(
+        spark, path, S.sink_schema(), S.PART_COL,
+        commit_protocol=proto,
+        properties={"num_buckets": 8, "manifest_split": True},
+    )
+    eng = TranscriptMergeEngine(tbl, num_buckets=8)
+    feed = synthetic_feed(spark, 3000)
+    st = eng.merge_batch(feed, epoch=0)
+    assert not st.skipped
+    assert eng.merge_batch(feed, epoch=0).skipped  # epoch guard holds
+    assert eng.current_state().count() > 0

@@ -309,3 +309,39 @@ def test_rescale_aborts_if_source_advances_mid_migration(spark, tmp_path):
     with mock.patch.object(type(tbl), "carry_applied", racing_carry):
         with pytest.raises(ConcurrentModification, match="advanced"):
             eng.rescale(str(tmp_path / "t2"), new_buckets=8)
+
+
+def test_rescale_abort_is_self_cleaning(spark, tmp_path):
+    """On ConcurrentModification the half-built target table must be
+    deleted (a retry re-copies from scratch), and a pre-existing target
+    is refused up front."""
+    import os
+
+    import pytest
+    import unittest.mock as mock
+
+    from radiant_portal_pipeline_spark.lake.table import ConcurrentModification
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl)
+    eng.merge_batch(_batch(spark, [_ev("c1", 0, "U", 1, "a")]), epoch=0)
+
+    orig_carry = type(tbl).carry_applied
+
+    def racing_carry(self, applied):
+        eng.merge_batch(_batch(spark, [_ev("c2", 0, "U", 2, "b")]), epoch=1)
+        return orig_carry(self, applied)
+
+    target = str(tmp_path / "t2")
+    with mock.patch.object(type(tbl), "carry_applied", racing_carry):
+        with pytest.raises(ConcurrentModification, match="deleted"):
+            eng.rescale(target, new_buckets=8)
+    assert not os.path.exists(target), "abort left the stale target behind"
+
+    # a retry against the SAME path now works (nothing stale in the way)
+    eng2 = eng.rescale(target, new_buckets=8)
+    assert eng2.current_state().count() == eng.current_state().count()
+
+    # and an occupied path is refused with an actionable error
+    with pytest.raises(ValueError, match="already exists"):
+        eng.rescale(target, new_buckets=16)

@@ -191,3 +191,77 @@ def test_stream_with_inline_compaction_policy(spark, tmp_path, sf_correct):
         )
     )
     assert got == want
+
+
+def test_feed_mtimes_monotone_across_calls(spark, tmp_path):
+    """Two write_feed_partitions calls in quick succession must assign
+    strictly increasing mtimes ACROSS calls — otherwise the file source
+    (which orders by modification time) can interleave the second
+    call's early epochs with the first call's late ones."""
+    import os
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    out = str(tmp_path / "feed")
+    feed = synthetic_feed(spark, 2000)
+    write_feed_partitions(feed.withColumn("s", F.col("lsn") % 3), out, "s")
+    first = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
+    write_feed_partitions(feed.withColumn("s", F.col("lsn") % 3 + 3), out, "s")
+    second = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet") and f not in first
+    }
+    assert second, "second call wrote no files"
+    assert min(second.values()) > max(first.values())
+
+
+def test_tombstone_gc_low_watermark_from_lineage(spark, tmp_path):
+    """The lineage-derived purge watermark: tombstones below
+    (max applied lsn - ooo_window) vanish on the maintenance hook;
+    guards above it survive and keep suppressing stragglers."""
+    import datetime
+
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.stream import tombstone_gc_hook
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def ev(conv, turn, op, lsn):
+        return (conv, turn, "user", f"t-{lsn}", None, ts, op, lsn, 0)
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=8)
+    lineage = LineageWriter(spark, str(tmp_path / "lin"))
+    eng = TranscriptMergeEngine(tbl, num_buckets=8, lineage=lineage)
+    hook = tombstone_gc_hook(eng, lineage, ooo_window=100, min_files_per_bucket=None)
+
+    batch0 = spark.createDataFrame(
+        [
+            ev("c1", 1, "U", 10), ev("c1", 1, "D", 50),   # tombstone far below wm
+            ev("c2", 1, "U", 20), ev("c2", 1, "D", 990),  # tombstone above wm
+            ev("c3", 1, "U", 1000),                        # advances the watermark
+        ],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+    st = eng.merge_batch(batch0, epoch=0)
+    hook(st)  # wm = 1000 - 100 = 900
+
+    assert lineage.safe_purge_watermark(100) == 900
+    raw = {(r["conv_id"], r["_deleted"]) for r in eng.raw_state().collect()}
+    assert ("c1", True) not in raw, "purgeable tombstone survived"
+    assert ("c2", True) in raw, "guard above the watermark was lost"
+
+    # straggler above the watermark but below the surviving tombstone:
+    # must stay suppressed
+    st1 = eng.merge_batch(
+        spark.createDataFrame([ev("c2", 1, "U", 950)], S.CHANGE_EVENT_SCHEMA),
+        epoch=1,
+    )
+    hook(st1)
+    live = {r["conv_id"] for r in eng.current_state().collect()}
+    assert "c2" not in live
+    assert live == {"c3"}
