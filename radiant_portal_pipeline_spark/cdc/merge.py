@@ -88,7 +88,7 @@ class TranscriptMergeEngine:
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
-        if merge_plan not in ("adaptive", "two_phase", "single_exchange"):
+        if merge_plan not in ("adaptive", "argmax", "two_phase", "single_exchange"):
             raise ValueError(f"unknown merge_plan {merge_plan!r}")
         self.table = table
         # The bucket count is part of the TABLE's identity (rows are
@@ -137,13 +137,23 @@ class TranscriptMergeEngine:
     # ------------------------------------------------------------------
 
     def _choose_plan(self, df: DataFrame) -> tuple[str, str]:
-        """Resolve ``merge_plan="adaptive"`` for ONE batch from a cheap
-        deterministic ~2% key-hash sample: per-bucket event counts give
-        the hot-bucket share. single_exchange wins when no bucket
-        straggles (it moves the raw batch once, no second exchange);
-        two_phase wins when a hot bucket would serialize behind one
-        task or when buckets cap the aggregation below the cluster's
-        parallelism. Decision rule (P = defaultParallelism):
+        """Resolve ``merge_plan="adaptive"`` for ONE batch.
+
+        First preference: ``argmax`` whenever the batch schema is
+        eligible (single bigint lsn, no map payload columns — always
+        true for the transcript envelope). Measured (BENCH.md plan
+        table), argmax dominates BOTH static plans at every
+        (parallelism, skew, dup-ratio) cell: it is all-hash (no
+        SortAggregate — a struct aggregation buffer forces sort-based
+        aggregation in the max-struct plans), its winners exchange
+        carries only keys+lsn with a map-side partial combine, and its
+        full-row exchange is keyed on (keys, lsn) — unique per row, so
+        a hot conversation spreads uniformly with no salting.
+
+        For ineligible schemas the old chooser decides between the
+        max-struct topologies from a cheap deterministic ~2% key-hash
+        sample: per-bucket event counts give the hot-bucket share.
+        Decision rule (P = defaultParallelism):
 
         - num_buckets < P  -> two_phase (agg parallelism would be capped)
         - max_bucket_share > 2/P -> two_phase (straggler dominates: the
@@ -154,6 +164,11 @@ class TranscriptMergeEngine:
         so replays choose the same plan); an empty sample falls back to
         the scale-safe two_phase. Returns (plan, reason) — the reason
         goes to lineage so operators can audit choices."""
+        from radiant_portal_pipeline_spark.cdc.dedup import argmax_eligible
+
+        keys = [S.PART_COL, *self.key_cols]
+        if argmax_eligible(df, keys, [self.lsn_col]):
+            return "argmax", "argmax_eligible(dominates both static plans)"
         p = max(int(self.table.spark.sparkContext.defaultParallelism), 1)
         if self.num_buckets < p:
             return "two_phase", f"buckets({self.num_buckets})<parallelism({p})"
@@ -178,33 +193,57 @@ class TranscriptMergeEngine:
     ) -> DataFrame:
         """LWW + write layout, per ``merge_plan``.
 
-        ``two_phase`` (default, the scale-safe plan): aggregate FIRST —
-        Catalyst plans a map-side partial combine before its own
-        exchange on the FULL group key, so a hot conversation (20-50%
-        of a feed) is reduced inside every input partition before any
-        data moves, and aggregation parallelism is shuffle.partitions,
-        not capped at num_buckets. THEN repartition the already-deduped
-        output by bucket for the partitioned write. Two exchanges, but
-        the second moves only post-dedup rows.
+        ``argmax`` (default via adaptive): hash-agg max(lsn) per key
+        (exchange carries keys+lsn ONLY, map-side partial combine),
+        shuffled-hash LEFT SEMI join back (full-row exchange keyed on
+        keys+lsn — unique per row, so hot conversations spread
+        uniformly), partition-local distinct for verbatim replays (its
+        exchange elides under the subset rule), then repartition the
+        deduped output by bucket for the write. Zero sorts; dominates
+        both legacy plans at every measured (cores, skew, dup) cell
+        (BENCH.md plan table).
 
-        ``single_exchange``: repartition(num_buckets, part) first;
-        because part = f(conv_id), HashPartitioning(part) satisfies the
-        ClusteredDistribution of groupBy(part, conv_id, turn_idx)
-        (subset rule) and the aggregation reuses the exchange. One
-        exchange total — but it carries the RAW batch with no partial
-        reduction, and the hot bucket lands in ONE task (the round-1
-        scaling ceiling). Only wins for low-skew feeds with buckets >=
-        cores — which is why ``adaptive`` (the default) picks it per
-        batch from a measured hot-bucket share (_choose_plan) and falls
-        back to two_phase otherwise. Maintenance ops (compact/rescale)
-        pass an explicit plan."""
+        ``two_phase`` (max-struct; legacy scale-safe plan): aggregate
+        FIRST — map-side partial combine before the exchange on the
+        FULL group key, so a hot conversation reduces inside every
+        input partition before data moves; THEN repartition the deduped
+        output. Two exchanges; the aggregation is a SortAggregate
+        (struct buffer), which is why argmax beats it.
+
+        ``single_exchange`` (max-struct): repartition(num_buckets,
+        part) first; because part = f(conv_id), HashPartitioning(part)
+        satisfies the ClusteredDistribution of groupBy(part, conv_id,
+        turn_idx) (subset rule) and the aggregation reuses the
+        exchange. One exchange total — but it carries the RAW batch
+        with no partial reduction, and the hot bucket lands in ONE
+        task (the round-1 scaling ceiling).
+
+        Both legacy plans are kept selectable as the comparison
+        baselines and as the fallback for schemas the argmax plan can't
+        serve (multi-column ordering, map-typed payloads)."""
         plan = plan or self.merge_plan
         if plan == "adaptive":  # callers resolve per batch; stay safe here
-            plan = "two_phase"
+            from radiant_portal_pipeline_spark.cdc.dedup import argmax_eligible
+
+            plan = (
+                "argmax" if argmax_eligible(df, keys, order_cols) else "two_phase"
+            )
+        if plan == "argmax":
+            from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
+
+            # layout repartition BETWEEN the semi join and the verbatim-
+            # replay distinct: the distinct's ClusteredDistribution is
+            # then satisfied by hashpartitioning(part) (subset rule), so
+            # it runs partition-local with NO exchange of its own — the
+            # null-safe join's coalesce-keyed output partitioning would
+            # otherwise force one
+            rows = argmax_winner_rows(df, keys, order_cols[0])
+            laid = rows.repartition(self.num_buckets, F.col(S.PART_COL))
+            return laid.dropDuplicates().select(*df.columns)
         if plan == "single_exchange":
             laid = df.repartition(self.num_buckets, F.col(S.PART_COL))
-            return lww_dedup(laid, keys, order_cols)
-        deduped = lww_dedup(df, keys, order_cols)
+            return lww_dedup(laid, keys, order_cols, via="max_struct")
+        deduped = lww_dedup(df, keys, order_cols, via="max_struct")
         return deduped.repartition(self.num_buckets, F.col(S.PART_COL))
 
     def _prepare_batch(self, batch: DataFrame) -> tuple[DataFrame, str, str]:
@@ -294,12 +333,28 @@ class TranscriptMergeEngine:
         existing = self.table.read(partitions=parts, version=snap.version)
         src = prepared.withColumn(_SRC_RANK, F.lit(1))
         tgt = existing.withColumn(_SRC_RANK, F.lit(0))
-        merged = self._dedup_and_layout(
-            src.unionByName(tgt, allowMissingColumns=True),
-            [S.PART_COL, *self.key_cols],
-            [self.lsn_col, _SRC_RANK],
-            plan=plan,
-        ).drop(_SRC_RANK)
+        unioned = src.unionByName(tgt, allowMissingColumns=True)
+        if plan == "argmax":
+            # fold the (lsn, src_rank) ordering into ONE bigint so the
+            # argmax plan stays eligible (it needs a single order
+            # column): batch beats existing at equal lsn. Safe while
+            # lsn < 2^62 — a WAL/binlog offset is far below.
+            unioned = unioned.withColumn(
+                "_ord", F.col(self.lsn_col) * 2 + F.col(_SRC_RANK)
+            )
+            merged = self._dedup_and_layout(
+                unioned.drop(_SRC_RANK),
+                [S.PART_COL, *self.key_cols],
+                ["_ord"],
+                plan=plan,
+            ).drop("_ord")
+        else:
+            merged = self._dedup_and_layout(
+                unioned,
+                [S.PART_COL, *self.key_cols],
+                [self.lsn_col, _SRC_RANK],
+                plan=plan,
+            ).drop(_SRC_RANK)
         result = self.table.overwrite_partitions(
             merged,
             source_id=self.source_id,

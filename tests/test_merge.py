@@ -49,6 +49,41 @@ def test_lww_dedup_agg_matches_window(spark):
     assert got == {("c1", 0): 5, ("c1", 1): 1, ("c2", 0): 9}
 
 
+def test_lww_dedup_strategies_agree_with_verbatim_dups(spark):
+    """argmax / max_struct / window must produce identical rows — the
+    whole-plan gate for swapping the default. Includes verbatim
+    duplicates (at-least-once replay: same key, same lsn, same payload)
+    which argmax collapses via its partition-local distinct."""
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    feed = synthetic_feed(spark, 5_000, dup_frac=0.1)
+    args = (feed, ["conv_id", "turn_idx"], ["lsn"])
+    am = lww_dedup(*args, via="argmax")
+    ms = lww_dedup(*args, via="max_struct")
+    win = lww_dedup(*args, use_window=True)
+    assert am.columns == feed.columns
+    rows_am = sorted(map(tuple, am.collect()))
+    assert rows_am == sorted(map(tuple, ms.collect()))
+    assert rows_am == sorted(map(tuple, win.collect()))
+    # one row per key even where the winner itself was replayed verbatim
+    assert am.count() == am.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_lww_argmax_rejects_ineligible_schema(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = _batch(spark, [_ev("c1", 0, "U", 5, "x")]).withColumn(
+        "attrs", F.create_map(F.lit("k"), F.lit("v"))
+    )
+    with pytest.raises(ValueError, match="argmax"):
+        lww_dedup(df, ["conv_id", "turn_idx"], ["lsn"], via="argmax")
+    # auto silently falls back (to the window — neither hash plan can
+    # serve a map payload: maps can't be grouping keys or be ordered
+    # inside the max-struct)
+    assert lww_dedup(df, ["conv_id", "turn_idx"], ["lsn"]).count() == 1
+
+
 def test_merge_upsert_update_delete(engine, spark):
     engine.merge_batch(
         _batch(spark, [_ev("c1", 0, "I", 1, "hello"), _ev("c1", 1, "I", 2, "world")]),

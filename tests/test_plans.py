@@ -198,11 +198,27 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_merge_prepare_argmax_is_all_hash(spark):
+    """The argmax plan's whole point: NO sort anywhere (max-struct
+    aggregation buffers force SortAggregate; argmax is hash-agg +
+    shuffled-hash semi join + elided-exchange distinct). The winners
+    aggregation must still get its map-side partial combine."""
+    feed = synthetic_feed(spark, 1000)
+    plan = plan_of(
+        TranscriptMergeEngine._prepare_batch(_bare_engine("argmax"), feed)[0],
+        mode="simple",
+    )
+    assert "SortAggregate" not in plan, plan
+    assert "Sort " not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # winners p+f, distinct p+f
+
+
 def test_adaptive_plan_selection(spark, tmp_path):
-    """The adaptive default resolves per batch from the measured
-    hot-bucket share: a 50%-hot feed must pick two_phase (straggler
-    defense), a uniform feed single_exchange (one exchange, buckets >=
-    parallelism), and the choice must land in MergeStats and lineage."""
+    """The adaptive default resolves per batch: the transcript envelope
+    is argmax-eligible, and argmax dominates both static plans at every
+    measured (cores, skew, dup) cell — so it is chosen regardless of
+    skew, and the choice lands in MergeStats and lineage."""
     from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
 
     p = spark.sparkContext.defaultParallelism
@@ -215,31 +231,71 @@ def test_adaptive_plan_selection(spark, tmp_path):
 
     hot = synthetic_feed(spark, 30_000, hot_every=2)  # 50% to one conv
     st_hot = eng.merge_batch(hot, epoch=0)
-    assert st_hot.plan == "two_phase", st_hot
+    assert st_hot.plan == "argmax", st_hot
 
     uniform = synthetic_feed(spark, 30_000, n_convs=5000, hot_every=10**9)
     st_uni = eng.merge_batch(uniform, epoch=1)
-    assert st_uni.plan == "single_exchange", st_uni
+    assert st_uni.plan == "argmax", st_uni
 
     plans = {
         r["batch_id"]: r["plan"]
         for r in lineage.read().select("batch_id", "plan").distinct().collect()
     }
-    assert plans[0].startswith("two_phase(")
-    assert plans[1].startswith("single_exchange(")
+    assert plans[0].startswith("argmax(")
+    assert plans[1].startswith("argmax(")
+
+
+def _with_map_payload(feed):
+    """An argmax-INeligible batch: map-typed payload columns can't be
+    grouping keys for the distinct, so adaptive must fall back to the
+    sampling chooser over the max-struct topologies."""
+    return feed.withColumn(
+        "attrs", F.create_map(F.lit("k"), F.col("role"))
+    )
+
+
+def test_adaptive_fallback_chooser_on_ineligible_schema(spark, tmp_path):
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.merge import part_expr
+
+    p = spark.sparkContext.defaultParallelism
+    buckets = max(64, 2 * p)
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t"), num_buckets=buckets
+    )
+    eng = TranscriptMergeEngine(tbl, num_buckets=buckets)
+
+    def slim(feed):
+        return _with_map_payload(feed).withColumn(
+            S.PART_COL, part_expr("conv_id", buckets)
+        )
+
+    hot = slim(synthetic_feed(spark, 30_000, hot_every=2))  # 50% to one conv
+    plan, reason = eng._choose_plan(hot)
+    assert plan == "two_phase", (plan, reason)
+
+    uniform = slim(synthetic_feed(spark, 30_000, n_convs=5000, hot_every=10**9))
+    plan, reason = eng._choose_plan(uniform)
+    assert plan == "single_exchange", (plan, reason)
 
 
 def test_adaptive_caps_below_parallelism_stays_two_phase(spark, tmp_path):
     """buckets < cluster parallelism would cap the single-exchange
-    aggregation — adaptive must refuse it regardless of skew."""
+    aggregation — the fallback chooser must refuse it regardless of
+    skew (argmax-ineligible schema forces the fallback path)."""
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.merge import part_expr
+
     p = spark.sparkContext.defaultParallelism
     if p < 2:
         return
+    buckets = max(2, p // 2)
     tbl = TranscriptMergeEngine.create_table(
-        spark, str(tmp_path / "t2"), num_buckets=max(2, p // 2)
+        spark, str(tmp_path / "t2"), num_buckets=buckets
     )
     eng = TranscriptMergeEngine(tbl)
-    st = eng.merge_batch(
-        synthetic_feed(spark, 5_000, n_convs=5000, hot_every=10**9), epoch=0
-    )
-    assert st.plan == "two_phase"
+    df = _with_map_payload(
+        synthetic_feed(spark, 5_000, n_convs=5000, hot_every=10**9)
+    ).withColumn(S.PART_COL, part_expr("conv_id", buckets))
+    plan, _ = eng._choose_plan(df)
+    assert plan == "two_phase"
