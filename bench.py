@@ -42,7 +42,17 @@ MERGE_RUNS_HI = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS_HI", "3"))
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 )
-MERGE_BUCKETS = 64  # fixed across parallelism levels for a fair compare
+# Bucket count TRACKS the parallelism level (4x cores), as a deployment
+# does: bucket count is sized to the cluster and migrated on growth
+# (TranscriptMergeEngine.rescale). Holding buckets fixed across levels
+# instead charges the small "cluster" 16 files/commit/core of layout
+# overhead and the big one 2 — measuring the file count, not the
+# engine. Override with SPARK_GRAFT_MERGE_BUCKETS to pin it.
+_BUCKETS_ENV = os.environ.get("SPARK_GRAFT_MERGE_BUCKETS")
+
+
+def merge_buckets(cpus: int) -> int:
+    return int(_BUCKETS_ENV) if _BUCKETS_ENV else 4 * cpus
 HEADLINE = [
     "q01_pricing_summary",
     "q05_broadcast_dim_enrich",
@@ -59,7 +69,7 @@ HEADLINE = [
 
 def _merge_replay_seconds(
     spark, n_events: int, mode: str, merge_plan: str = "argmax",
-    hot_every: int = 5,
+    hot_every: int = 5, buckets: int | None = None,
 ) -> dict:
     """Apply a synthetic feed in MERGE_BATCHES epoch slices; wall time.
     MoR additionally times a final compaction + state materialization."""
@@ -85,15 +95,18 @@ def _merge_replay_seconds(
     ]
 
     # JIT/codegen warmup on a throwaway table (excluded from timing)
-    warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm", num_buckets=MERGE_BUCKETS)
+    nb = buckets if buckets is not None else merge_buckets(
+        spark.sparkContext.defaultParallelism
+    )
+    warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm", num_buckets=nb)
     warm = TranscriptMergeEngine(
-        warm_tbl, num_buckets=MERGE_BUCKETS, mode=mode, merge_plan=merge_plan
+        warm_tbl, num_buckets=nb, mode=mode, merge_plan=merge_plan
     )
     warm.merge_batch(batches[0].limit(50000), epoch=0)
 
-    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=MERGE_BUCKETS)
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=nb)
     engine = TranscriptMergeEngine(
-        tbl, num_buckets=MERGE_BUCKETS, mode=mode, merge_plan=merge_plan
+        tbl, num_buckets=nb, mode=mode, merge_plan=merge_plan
     )
     t0 = time.time()
     for b, batch in enumerate(batches):
@@ -117,7 +130,8 @@ def merge_only(
     )
     rec = _merge_replay_seconds(spark, n_events, mode, merge_plan, hot_every)
     rec.update({"seconds": rec["apply_seconds"], "events": n_events, "cpus": cpus,
-                "mode": mode, "merge_plan": merge_plan, "hot_every": hot_every})
+                "mode": mode, "merge_plan": merge_plan, "hot_every": hot_every,
+                "buckets": merge_buckets(cpus)})
     return rec
 
 
@@ -338,18 +352,24 @@ def main() -> None:
             cdc["levels"][str(level)] = rec
         cdc["pairwise_efficiencies"] = pair_eff
 
-        # one hi-level run of the NON-default plan: the artifact then
-        # records both sides of the plan trade (BENCH.md table) instead
-        # of only the default's story
+        # one (lo, hi) PAIR of the NON-default plan: the artifact then
+        # records both sides of the plan trade like-for-like — absolute
+        # throughput AND that plan's own pairwise scaling efficiency
+        # (r2 continuity: two_phase was the r2 default, so its pair is
+        # directly comparable to BENCH_r02)
         alt = "single_exchange" if args.merge_plan == "two_phase" else "two_phase"
         try:
-            alt_rec = one_with_plan(hi, alt)
-            alt_rec["events_per_sec"] = round(
-                alt_rec["events"] / alt_rec["seconds"], 1
-            )
-            cdc["alt_plan_hi"] = alt_rec
+            alt_pair = {lv: one_with_plan(lv, alt) for lv in (lo, hi)}
+            for rec in alt_pair.values():
+                rec["events_per_sec"] = round(rec["events"] / rec["seconds"], 1)
+            tp_alt = {lv: r["events"] / r["seconds"] for lv, r in alt_pair.items()}
+            cdc["alt_plan"] = {
+                "plan": alt,
+                "levels": {str(lv): alt_pair[lv] for lv in (lo, hi)},
+                "scaling_efficiency": round(tp_alt[hi] / (tp_alt[lo] * ratio), 3),
+            }
         except Exception as e:  # secondary evidence — never fail the bench
-            cdc["alt_plan_hi"] = {"error": str(e)[:200]}
+            cdc["alt_plan"] = {"plan": alt, "error": str(e)[:200]}
         lo_t = cdc["levels"][str(lo)]["events_per_sec"]
         hi_t = cdc["levels"][str(hi)]["events_per_sec"]
         # primary artifact: median of the per-pair efficiencies (each
