@@ -271,6 +271,11 @@ def main() -> None:
                      "--hot-every", str(hot)],
                     capture_output=True, text=True, timeout=1800,
                 )
+                if r.returncode != 0 or not r.stdout.strip():
+                    raise RuntimeError(
+                        f"plan-compare child (plan={plan}, hot={hot}) failed "
+                        f"rc={r.returncode}: {r.stderr[-500:]}"
+                    )
                 rec = json.loads(r.stdout.strip().splitlines()[-1])
                 rec["events_per_sec"] = round(rec["events"] / rec["seconds"], 1)
                 table[f"hot{100 // hot}pct_{plan}"] = {

@@ -214,17 +214,22 @@ class AffinityPartitionAssigner:
         else:
             match_map = {}
 
-        rows = delta.select(id_col, "strategy", *dims).orderBy(
-            "strategy", id_col
-        ).collect()  # per-batch delta: small by design (see docstring)
-        if len(rows) > self.max_delta_rows:
+        # cap check BEFORE the collect: the guard exists to convert a
+        # driver OOM into an actionable error, so it must fire while
+        # the data is still distributed (limit+count scans at most
+        # cap+1 rows), not after a full .collect() already blew the heap
+        probe = delta.limit(self.max_delta_rows + 1).count()
+        if probe > self.max_delta_rows:
             raise ValueError(
-                f"assign_multi got a {len(rows)}-row delta; stateful "
-                f"occupancy assignment is a DRIVER-side sequential fold "
-                f"(the reference's design) capped at "
+                f"assign_multi got a >{self.max_delta_rows}-row delta; "
+                f"stateful occupancy assignment is a DRIVER-side "
+                f"sequential fold (the reference's design) capped at "
                 f"{self.max_delta_rows} rows per batch — split the "
                 f"delta into smaller batches or raise max_delta_rows"
             )
+        rows = delta.select(id_col, "strategy", *dims).orderBy(
+            "strategy", id_col
+        ).collect()  # per-batch delta: small by design (see docstring)
 
         state = self.bootstrap(None)
         if assigned is not None:

@@ -43,18 +43,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import AtomicType
 
 
+def _has_map_type(df: DataFrame) -> bool:
+    """True if ANY column contains a map type at any nesting depth
+    (map<...> directly, array<map<...>>, struct with a map field):
+    such columns can neither be grouping keys (set operations) nor be
+    ordered inside a max-struct. The type syntax "map<" cannot collide
+    with column NAMES in simpleString (names render as "name:type")."""
+    return any("map<" in f.dataType.simpleString() for f in df.schema.fields)
+
+
 def argmax_eligible(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]) -> bool:
     """The argmax plan needs (a) a single order column whose max() is
     hash-aggregable and (b) every column usable as a grouping key for
     the final distinct (atomic types; arrays/structs group too but maps
-    do not)."""
+    do not — at any nesting depth)."""
     if len(order_cols) != 1:
         return False
     fields = {f.name: f.dataType for f in df.schema.fields}
     if not isinstance(fields[order_cols[0]], AtomicType):
         return False
-    banned = ("map",)
-    return all(not t.typeName().startswith(banned) for t in fields.values())
+    return not _has_map_type(df)
 
 
 def argmax_winner_rows(df: DataFrame, keys: Sequence[str], order: str) -> DataFrame:
@@ -95,13 +103,24 @@ def lww_dedup(
 
     ``via``: "auto" (argmax where eligible; max_struct otherwise; the
     window for map payloads, which neither hash plan can serve),
-    "argmax", "max_struct"."""
+    "no_argmax" (same resolution minus argmax — the merge engine's
+    legacy two_phase/single_exchange topologies use this so an
+    argmax-ineligible schema still gets a RUNNABLE dedup),
+    "argmax", "max_struct".
+
+    NULL order values: rows whose order tuple is NULL lose to any
+    non-NULL row (NULLs sort first). A key whose rows are ALL NULL in
+    the order column is outside the contract ("order_cols must make
+    the winner unique"): max_struct/window pick one row, the argmax
+    plan returns every distinct row of the key (max() ignores NULLs,
+    and NULL <=> NULL matches them all) — callers must enforce
+    non-null order columns (the merge engine raises on NULL lsn)."""
     keys = list(keys)
     order_cols = list(order_cols)
-    if via == "auto" and not use_window:
-        if argmax_eligible(df, keys, order_cols):
+    if via in ("auto", "no_argmax") and not use_window:
+        if via == "auto" and argmax_eligible(df, keys, order_cols):
             via = "argmax"
-        elif any(f.dataType.typeName() == "map" for f in df.schema.fields):
+        elif _has_map_type(df):
             # max(struct(..., payload)) can't ORDER a map payload either
             # (INVALID_ORDERING_TYPE) — the window plan is the only one
             # that never compares payloads

@@ -240,10 +240,14 @@ class TranscriptMergeEngine:
             rows = argmax_winner_rows(df, keys, order_cols[0])
             laid = rows.repartition(self.num_buckets, F.col(S.PART_COL))
             return laid.dropDuplicates().select(*df.columns)
+        # legacy topologies: "no_argmax" resolves to max_struct for
+        # orderable payloads and to the window plan for map-bearing
+        # ones — a hard via="max_struct" here would send exactly the
+        # schemas the fallback exists for into INVALID_ORDERING_TYPE
         if plan == "single_exchange":
             laid = df.repartition(self.num_buckets, F.col(S.PART_COL))
-            return lww_dedup(laid, keys, order_cols, via="max_struct")
-        deduped = lww_dedup(df, keys, order_cols, via="max_struct")
+            return lww_dedup(laid, keys, order_cols, via="no_argmax")
+        deduped = lww_dedup(df, keys, order_cols, via="no_argmax")
         return deduped.repartition(self.num_buckets, F.col(S.PART_COL))
 
     def _prepare_batch(self, batch: DataFrame) -> tuple[DataFrame, str, str]:

@@ -52,7 +52,14 @@ class IterCheckpointer:
             )
         self.durable = durable
         self.base_dir = base_dir.rstrip("/") if base_dir else None
-        self._paths: dict[int, str] = {}  # id(df) -> parquet dir
+        # id(df) -> (df, parquet dir). The DataFrame reference is held
+        # ON PURPOSE: keying by id() alone lets CPython recycle the
+        # address after the caller drops its reference (release is
+        # documented optional), and a later cut()'s frame landing on
+        # the same id would overwrite the entry — orphaning the first
+        # parquet dir beyond close()'s reach. Holding the frame pins
+        # the id for exactly as long as the entry exists.
+        self._paths: dict[int, tuple[DataFrame, str]] = {}
 
     def cut(self, df: DataFrame) -> DataFrame:
         if not self.durable:
@@ -60,7 +67,7 @@ class IterCheckpointer:
         path = f"{self.base_dir}/cut-{uuid.uuid4().hex}"
         df.write.parquet(path)
         out = df.sparkSession.read.parquet(path)
-        self._paths[id(out)] = path
+        self._paths[id(out)] = (out, path)
         return out
 
     def release(self, df: DataFrame) -> None:
@@ -69,12 +76,12 @@ class IterCheckpointer:
         if not self.durable:
             df.unpersist()
             return
-        path = self._paths.pop(id(df), None)
-        if path:
-            shutil.rmtree(path, ignore_errors=True)
+        entry = self._paths.pop(id(df), None)
+        if entry:
+            shutil.rmtree(entry[1], ignore_errors=True)
 
     def close(self) -> None:
         if self.durable:
-            for path in self._paths.values():
+            for _df, path in self._paths.values():
                 shutil.rmtree(path, ignore_errors=True)
             self._paths.clear()

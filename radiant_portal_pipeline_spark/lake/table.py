@@ -103,6 +103,17 @@ class CommitProtocol:
         publishing)."""
         raise NotImplementedError
 
+    def age_seconds(self, target: str) -> float | None:
+        """Seconds since ``target`` was published, or None if unknown
+        / not published. GC (vacuum) uses this for its grace window —
+        age MUST come through the protocol: protocol-managed objects
+        (manifest blobs on an object store) have no local-filesystem
+        mtime, and a local stat would make every blob look eternally
+        in-flight (never GC'd). The conservative default (None =
+        unknown) makes vacuum KEEP the object; override to enable
+        blob GC."""
+        return None
+
 
 class PosixCommitProtocol(CommitProtocol):
     def publish(self, target: str, data: bytes) -> None:
@@ -130,6 +141,14 @@ class PosixCommitProtocol(CommitProtocol):
     def delete(self, target: str) -> None:
         os.remove(target)
 
+    def age_seconds(self, target: str) -> float | None:
+        import time as _time
+
+        try:
+            return _time.time() - os.path.getmtime(target)
+        except OSError:
+            return None
+
 
 class InMemoryCommitProtocol(CommitProtocol):
     """Second, non-POSIX implementation of the contract — a conditional-
@@ -147,6 +166,7 @@ class InMemoryCommitProtocol(CommitProtocol):
         import threading
 
         self._store: dict[str, bytes] = {}
+        self._published_at: dict[str, float] = {}  # for age_seconds / GC grace
         self._lock = threading.RLock()  # RLock: hooks may publish
         self.inject_before_put = inject_before_put
 
@@ -157,27 +177,44 @@ class InMemoryCommitProtocol(CommitProtocol):
                 hook(self, target)  # one-shot: re-arm explicitly if needed
             if target in self._store:
                 raise FileExistsError(target)
+            import time as _time
+
             self._store[target] = bytes(data)
+            self._published_at[target] = _time.time()
 
     def read(self, target: str) -> str:
-        try:
-            return self._store[target].decode()
-        except KeyError:
-            raise FileNotFoundError(target) from None
+        with self._lock:  # consistent point-in-time GET
+            try:
+                return self._store[target].decode()
+            except KeyError:
+                raise FileNotFoundError(target) from None
 
     def list_names(self, directory: str) -> list[str]:
         prefix = directory.rstrip("/") + "/"
-        return [
-            t[len(prefix):]
-            for t in self._store
-            if t.startswith(prefix) and "/" not in t[len(prefix):]
-        ]
+        # the lock makes LIST a consistent snapshot — iterating the
+        # dict unlocked races publish() ("dict changed size during
+        # iteration") in exactly the concurrent-writer scenarios this
+        # class exists to test
+        with self._lock:
+            return [
+                t[len(prefix):]
+                for t in self._store
+                if t.startswith(prefix) and "/" not in t[len(prefix):]
+            ]
 
     def delete(self, target: str) -> None:
         with self._lock:
             if target not in self._store:
                 raise FileNotFoundError(target)
             del self._store[target]
+            self._published_at.pop(target, None)
+
+    def age_seconds(self, target: str) -> float | None:
+        import time as _time
+
+        with self._lock:
+            t = self._published_at.get(target)
+        return None if t is None else _time.time() - t
 
 
 class ConcurrentModification(RuntimeError):
@@ -1008,11 +1045,19 @@ class LakeTable:
             blob_names = self.commit_protocol.list_names(mdir)
         except FileNotFoundError:
             blob_names = []
+        def _blob_young(target: str) -> bool:
+            # blobs are PROTOCOL-managed: their age must come through
+            # the protocol (a local stat on an object-store deployment
+            # would always fail and make every dead blob look
+            # eternally in-flight — unbounded store growth)
+            age = self.commit_protocol.age_seconds(target)
+            return age is None or age < grace_seconds
+
         for fn in blob_names:
             if (
                 fn.endswith(".json")
                 and fn not in live_blobs
-                and not _young(os.path.join(mdir, fn))
+                and not _blob_young(os.path.join(mdir, fn))
             ):
                 self.commit_protocol.delete(os.path.join(mdir, fn))
                 self._blob_cache.pop(fn, None)

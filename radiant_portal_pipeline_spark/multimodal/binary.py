@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from radiant_portal_pipeline_spark import PKG_PARENT
-from radiant_portal_pipeline_spark.multimodal import codecs as C
 
 MEDIA_META_SCHEMA = T.StructType(
     [

@@ -380,3 +380,62 @@ def test_rescale_abort_is_self_cleaning(spark, tmp_path):
     # and an occupied path is refused with an actionable error
     with pytest.raises(ValueError, match="already exists"):
         eng.rescale(target, new_buckets=16)
+
+
+def test_legacy_plans_execute_on_map_payload(spark):
+    """The fallback topologies must be RUNNABLE on the schemas the
+    fallback exists for: a map payload can't ride the max-struct
+    (INVALID_ORDERING_TYPE), so via="no_argmax" must resolve to the
+    window plan — a hard max_struct crashed exactly the batches the
+    adaptive chooser routes to two_phase (round-3 review finding)."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.merge import (
+        TranscriptMergeEngine,
+        part_expr,
+    )
+
+    feed = (
+        synthetic_feed(spark, 2000)
+        .withColumn("attrs", F.create_map(F.lit("k"), F.col("role")))
+        .withColumn(S.PART_COL, part_expr("conv_id", 16))
+        .withColumn(S.DELETED_COL, F.col("op") == F.lit("D"))
+        .drop("op", "commit_epoch")
+    )
+    eng = TranscriptMergeEngine.__new__(TranscriptMergeEngine)
+    eng.num_buckets = 16
+    eng.key_cols = ["conv_id", "turn_idx"]
+    eng.lsn_col = "lsn"
+    keys = [S.PART_COL, "conv_id", "turn_idx"]
+    counts = {
+        plan: TranscriptMergeEngine._dedup_and_layout(
+            eng, feed, keys, ["lsn"], plan=plan
+        ).count()
+        for plan in ("two_phase", "single_exchange", "adaptive")
+    }
+    assert len(set(counts.values())) == 1 and counts["two_phase"] > 0, counts
+
+
+def test_nested_map_detection(spark):
+    """array<map<...>> and struct-wrapped maps are just as
+    un-groupable/un-orderable as a top-level map — detection must
+    recurse (round-3 review finding)."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.dedup import argmax_eligible
+
+    base = _batch(spark, [_ev("c1", 0, "U", 5, "new"), _ev("c1", 0, "U", 3, "old")])
+    nested = base.withColumn(
+        "tags", F.array(F.create_map(F.lit("k"), F.lit("v")))
+    )
+    assert not argmax_eligible(nested, ["conv_id", "turn_idx"], ["lsn"])
+    out = lww_dedup(nested, ["conv_id", "turn_idx"], ["lsn"])  # auto -> window
+    assert out.count() == 1 and out.head()["lsn"] == 5
+
+    wrapped = base.withColumn(
+        "meta", F.struct(F.create_map(F.lit("k"), F.lit("v")).alias("m"))
+    )
+    assert not argmax_eligible(wrapped, ["conv_id", "turn_idx"], ["lsn"])
+    assert lww_dedup(wrapped, ["conv_id", "turn_idx"], ["lsn"]).count() == 1
