@@ -124,9 +124,12 @@ def merge_only(
 ) -> dict:
     from radiant_portal_pipeline_spark.session import get_spark
 
+    # 2x cores: the deployment guidance (session.py docstring) — measured
+    # best at the hi level (6.13 vs 6.67 s @8c), neutral at the lo level,
+    # with AQE coalescing absorbing the excess
     spark = get_spark(
         app_name=f"bench_merge_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=2 * cpus,
     )
     rec = _merge_replay_seconds(spark, n_events, mode, merge_plan, hot_every)
     rec.update({"seconds": rec["apply_seconds"], "events": n_events, "cpus": cpus,
