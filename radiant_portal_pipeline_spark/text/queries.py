@@ -261,3 +261,36 @@ def t_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles until the band join."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(d, max_hamming=6)
+
+
+@query("t_incremental_minhash")  # rows-only: xxhash64 has no DuckDB twin
+def t_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained LSH index (text/incremental.py): the corpus is
+    ingested in TWO epochs into a bucket-partitioned lake table of band
+    rows; the second batch's near-dup query reads only its probed
+    buckets (manifest pruning) and verifies with exact Jaccard over
+    candidate docs only. Parity with the batch minhash_lsh_dedup
+    restricted to the batch is asserted in
+    tests/test_incremental_index.py; here the two-step union result is
+    returned — identical rows to t_minhash_lsh_dedup by construction
+    (same bands, same hashes, same verify tail)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.text.incremental import (
+        IncrementalMinHashIndex,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = d.filter(F.col("doc_id") <= mid)
+    b2 = d.filter(F.col("doc_id") > mid)
+    ix = IncrementalMinHashIndex.create(
+        spark, tempfile.mkdtemp(prefix="ix_") + "/ix", num_buckets=32
+    )
+    ix.update(b1, epoch=0)
+    p1 = ix.near_dups_of(b1, d)
+    ix.update(b2, epoch=1)
+    p2 = ix.near_dups_of(b2, d)
+    return p1.union(p2).distinct()

@@ -1,0 +1,90 @@
+"""Incremental MinHash index: batch-parity, re-index masking, pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from radiant_portal_pipeline_spark.text.dedup import minhash_lsh_dedup
+from radiant_portal_pipeline_spark.text.incremental import IncrementalMinHashIndex
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark, n=120, n_templates=17):
+    """Deterministic docs with planted near-dups: doc i shares a
+    template with every j ≡ i (mod n_templates); a per-doc suffix
+    varies similarity."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(n):
+        words = base.split()
+        words[i % len(words)] = f"tok{i % n_templates}"
+        suffix = [f"extra{i}"] * (i % 3)
+        rows.append((i, " ".join(words + suffix)))
+    return _docs(spark, rows)
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_matches_batch_restricted_to_batch(spark, tmp_path):
+    corpus = _corpus(spark).localCheckpoint(eager=True)
+    b1 = corpus.filter(F.col("doc_id") < 80)
+    b2 = corpus.filter(F.col("doc_id") >= 80)
+
+    ix = IncrementalMinHashIndex.create(spark, str(tmp_path / "ix"), num_buckets=16)
+    ix.update(b1, epoch=0)
+    p1 = _pairs(ix.near_dups_of(b1, corpus))
+    ix.update(b2, epoch=1)
+    p2 = _pairs(ix.near_dups_of(b2, corpus))
+
+    full = _pairs(minhash_lsh_dedup(corpus, threshold=0.4))
+    b2_ids = {r["doc_id"] for r in b2.select("doc_id").collect()}
+    # step 2 finds exactly the full-corpus pairs touching the new batch
+    assert p2 == {p for p in full if p[0] in b2_ids or p[1] in b2_ids}
+    # and the union of increments covers the whole batch result
+    assert p1 | p2 == full
+    assert len(full) > 0  # planted dups actually exist
+
+
+def test_reindex_masks_stale_bands(spark, tmp_path):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = text + " lambda"
+    ix = IncrementalMinHashIndex.create(spark, str(tmp_path / "ix"), num_buckets=8)
+    v1 = _docs(spark, [(1, text), (2, near)])
+    ix.update(v1, epoch=0)
+    assert _pairs(ix.near_dups_of(v1, v1)) != set()
+
+    # doc 2 is REWRITTEN to something unrelated: its old band rows must
+    # stop producing candidates even though they still sit in the table
+    unrelated = "one two three four five six seven eight nine ten eleven twelve"
+    v2docs = _docs(spark, [(2, unrelated)])
+    corpus = _docs(spark, [(1, text), (2, unrelated)])
+    ix.update(v2docs, epoch=1)
+    assert _pairs(ix.near_dups_of(v2docs, corpus)) == set()
+    # querying doc 1 must not resurrect the stale pair either
+    assert _pairs(ix.near_dups_of(_docs(spark, [(1, text)]), corpus)) == set()
+
+    # compaction drops the superseded rows physically
+    before = ix.table.read().count()
+    ix.compact()
+    after = ix.table.read().count()
+    assert after < before
+    assert _pairs(ix.near_dups_of(v2docs, corpus)) == set()
+
+
+def test_probe_reads_only_probed_buckets(spark, tmp_path):
+    corpus = _corpus(spark, n=200).localCheckpoint(eager=True)
+    ix = IncrementalMinHashIndex.create(spark, str(tmp_path / "ix"), num_buckets=16)
+    ix.update(corpus, epoch=0)
+    one = corpus.filter(F.col("doc_id") == 3)
+    probed = ix.probe_buckets(one)
+    opened = ix.table.live_files(partitions=probed)
+    total = ix.table.live_files()
+    # one doc probes at most N_BANDS buckets of 16 — the candidate read
+    # must open only those buckets' files (manifest pruning)
+    assert 0 < len(opened) < len(total)
+    assert set(opened) <= set(total)
