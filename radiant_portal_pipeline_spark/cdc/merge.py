@@ -88,8 +88,15 @@ class TranscriptMergeEngine:
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
-        if merge_plan not in ("adaptive", "argmax", "two_phase", "single_exchange"):
+        if merge_plan not in (
+            "adaptive", "argmax", "append_only", "two_phase", "single_exchange"
+        ):
             raise ValueError(f"unknown merge_plan {merge_plan!r}")
+        if merge_plan == "append_only" and mode != "mor":
+            raise ValueError(
+                "append_only elides the write-path dedup, which is only "
+                "correct under MoR read-side LWW — copy-on-write must fold"
+            )
         self.table = table
         # The bucket count is part of the TABLE's identity (rows are
         # physically placed by pmod(xxhash64(conv_id), buckets)): an
@@ -168,6 +175,32 @@ class TranscriptMergeEngine:
 
         keys = [S.PART_COL, *self.key_cols]
         if argmax_eligible(df, keys, [self.lsn_col]):
+            # insert-dominant batches (~no duplicate keys) skip the
+            # write-path dedup entirely: MoR read-side LWW + compaction
+            # already guarantee the same read results, and eliding the
+            # winners agg + semi join measures ~40% faster on a 16M-row
+            # all-new-keys batch (BENCH.md). Safe only under MoR (CoW
+            # must fold), and a wrong guess costs bounded storage until
+            # compact, never correctness. Decided from the same cheap
+            # deterministic ~2% key-hash sample as the skew chooser.
+            if self.mode == "mor":
+                sample = df.filter(
+                    F.pmod(F.xxhash64(*self.key_cols, F.lit(17)), F.lit(50)) == 0
+                )
+                row = sample.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(*[F.col(c) for c in self.key_cols]).alias(
+                        "nk"
+                    ),
+                ).head()
+                if row is not None and row["n"]:
+                    dup_share = 1.0 - row["nk"] / row["n"]
+                    if dup_share < 0.02:
+                        return (
+                            "append_only",
+                            f"dup_share={dup_share:.4f}<0.02 (insert-dominant)",
+                        )
+                    return "argmax", f"dup_share={dup_share:.4f}>=0.02"
             return "argmax", "argmax_eligible(dominates both static plans)"
         p = max(int(self.table.spark.sparkContext.defaultParallelism), 1)
         if self.num_buckets < p:
@@ -228,6 +261,10 @@ class TranscriptMergeEngine:
             plan = (
                 "argmax" if argmax_eligible(df, keys, order_cols) else "two_phase"
             )
+        if plan == "append_only":
+            # write-path dedup elided (insert-dominant batch, MoR):
+            # read-side LWW resolves any duplicates; compact() folds
+            return df.repartition(self.num_buckets, F.col(S.PART_COL))
         if plan == "argmax":
             from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
 
@@ -474,6 +511,9 @@ class TranscriptMergeEngine:
             self.table.read(partitions=parts, version=base_version),
             [S.PART_COL, *self.key_cols],
             [self.lsn_col],
+            # NEVER inherit an append_only engine default here: folding
+            # is compaction's entire purpose
+            plan="adaptive",
         )
         if purge_tombstones_below is not None:
             folded = folded.filter(

@@ -439,3 +439,51 @@ def test_nested_map_detection(spark):
     )
     assert not argmax_eligible(wrapped, ["conv_id", "turn_idx"], ["lsn"])
     assert lww_dedup(wrapped, ["conv_id", "turn_idx"], ["lsn"]).count() == 1
+
+
+def test_append_only_reads_equal_deduped_merge(spark, tmp_path):
+    """Write-path dedup elision (append_only) must be READ-equivalent
+    to a folding merge: MoR read-side LWW resolves cross-batch updates,
+    intra-batch duplicates, verbatim replays and deletes identically —
+    the elision trades bounded storage until compact(), never results."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    feed = synthetic_feed(
+        spark, 20_000, n_convs=97, dup_frac=0.05
+    ).localCheckpoint(eager=True)  # update-heavy + verbatim replays
+
+    def replay(plan, name):
+        tbl = TranscriptMergeEngine.create_table(
+            spark, str(tmp_path / name), num_buckets=8
+        )
+        eng = TranscriptMergeEngine(tbl, num_buckets=8, merge_plan=plan)
+        for e in range(2):
+            eng.merge_batch(
+                feed.filter(F.col("commit_epoch") % 2 == e), epoch=e
+            )
+        return eng
+
+    ao = replay("append_only", "ao")
+    am = replay("argmax", "am")
+    got = sorted(map(tuple, ao.current_state().collect()))
+    assert got == sorted(map(tuple, am.current_state().collect()))
+    assert len(got) > 0
+    # the elided table holds MORE physical rows until compaction
+    # (intra-batch losers + verbatim replays retained)...
+    assert ao.table.read().count() > am.table.read().count()
+    # ...and compact() folds BOTH to one row per key, regardless of the
+    # engine's default plan
+    ao.compact()
+    am.compact()
+    assert ao.table.read().count() == am.table.read().count()
+    assert sorted(map(tuple, ao.current_state().collect())) == got
+
+
+def test_append_only_rejected_for_cow(spark, tmp_path):
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t"), num_buckets=4
+    )
+    with pytest.raises(ValueError, match="append_only"):
+        TranscriptMergeEngine(tbl, mode="cow", merge_plan="append_only")

@@ -215,10 +215,11 @@ def test_merge_prepare_argmax_is_all_hash(spark):
 
 
 def test_adaptive_plan_selection(spark, tmp_path):
-    """The adaptive default resolves per batch: the transcript envelope
-    is argmax-eligible, and argmax dominates both static plans at every
-    measured (cores, skew, dup) cell — so it is chosen regardless of
-    skew, and the choice lands in MergeStats and lineage."""
+    """The adaptive default resolves per batch: update-heavy batches
+    (duplicate keys to fold) take the sort-free argmax plan; insert-
+    dominant batches (~no duplicate keys) elide the write-path dedup
+    entirely (append_only — MoR read-side LWW makes it equivalent).
+    The choice lands in MergeStats and lineage."""
     from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
 
     p = spark.sparkContext.defaultParallelism
@@ -235,14 +236,14 @@ def test_adaptive_plan_selection(spark, tmp_path):
 
     uniform = synthetic_feed(spark, 30_000, n_convs=5000, hot_every=10**9)
     st_uni = eng.merge_batch(uniform, epoch=1)
-    assert st_uni.plan == "argmax", st_uni
+    assert st_uni.plan == "append_only", st_uni
 
     plans = {
         r["batch_id"]: r["plan"]
         for r in lineage.read().select("batch_id", "plan").distinct().collect()
     }
     assert plans[0].startswith("argmax(")
-    assert plans[1].startswith("argmax(")
+    assert plans[1].startswith("append_only(")
 
 
 def _with_map_payload(feed):
