@@ -182,7 +182,13 @@ class TranscriptMergeEngine:
             # all-new-keys batch (BENCH.md). Safe only under MoR (CoW
             # must fold), and a wrong guess costs bounded storage until
             # compact, never correctness. Decided from the same cheap
-            # deterministic ~2% key-hash sample as the skew chooser.
+            # deterministic ~2% KEY-hash sample as the skew chooser —
+            # whole keys are in or out, so a sampled hot key shows its
+            # full duplicate mass; the known blind spot is duplication
+            # concentrated in a HANDFUL of keys (each caught w.p. ~2%
+            # per batch), where most batches will elide and carry the
+            # duplicate volume to compaction — the incremental
+            # compaction policy (min_files_per_bucket) is the backstop.
             if self.mode == "mor":
                 sample = df.filter(
                     F.pmod(F.xxhash64(*self.key_cols, F.lit(17)), F.lit(50)) == 0
@@ -353,7 +359,21 @@ class TranscriptMergeEngine:
                 seconds=time.time() - t0,
                 plan=plan,
             )
-            self._record_lineage(stats, prepared, snap.version, plan_reason)
+            lineage_batch = prepared
+            if plan == "append_only" and self.lineage is not None:
+                # lineage I/U/D counts are per KEY (LineageWriter.record
+                # contract) but append_only writes the UN-deduped batch;
+                # fold a SLIM projection just for the metrics — key
+                # columns + lsn + tombstone, no payload, so the count
+                # pass stays cheap and the write path stays elided
+                lineage_batch = lww_dedup(
+                    prepared.select(
+                        S.PART_COL, *self.key_cols, self.lsn_col, S.DELETED_COL
+                    ),
+                    [S.PART_COL, *self.key_cols],
+                    [self.lsn_col],
+                )
+            self._record_lineage(stats, lineage_batch, snap.version, plan_reason)
             return stats
 
         # ---- copy-on-write: fused union + LWW over touched buckets

@@ -5,19 +5,24 @@ time a batch of documents arrives; it needs the near-dup index to be a
 TABLE that ingestion maintains and queries prune. This module keeps the
 banded MinHash signatures (text/dedup.py ``minhash_signatures`` /
 ``lsh_candidate_pairs`` — same bands, same hashes, so incremental and
-batch results are provably comparable) in a bucket-partitioned
-:class:`LakeTable`:
+batch results are provably comparable) in TWO bucket-partitioned
+:class:`LakeTable`s under one root:
 
-- ``update(docs, epoch)`` appends the batch's band rows; a re-ingested
-  (updated) document gets fresh rows under the new epoch, and readers
-  mask the stale ones with a per-doc latest-epoch watermark (MoR
-  semantics — no cross-bucket tombstone chasing, compaction folds the
-  table back to one epoch per doc).
-- ``near_dups_of(batch, corpus)`` bands ONLY the batch, reads ONLY the
-  index buckets those bands hash into (manifest pruning — assertable
-  via ``live_files``), candidate-joins, and verifies with exact Jaccard
-  over the candidate documents only. Cost scales with the batch and its
-  collisions, never with the corpus.
+- ``<path>/bands`` — (bucket, doc_id, band_id, band_hash, epoch),
+  partitioned by the band-hash bucket: the collision-probe dimension.
+- ``<path>/versions`` — (vbucket, doc_id, epoch), partitioned by a
+  doc-id bucket: the per-doc latest-epoch watermark that masks rows
+  superseded by a re-index. Kept separately so masking NEVER needs the
+  full band index: a query reads only the version buckets of the docs
+  it actually collided with.
+
+``update(docs, epoch)`` appends to both (same epoch guard — replay is
+a no-op on each). ``near_dups_of(batch, corpus)`` bands ONLY the
+batch, reads ONLY the band buckets those bands hash into and ONLY the
+version buckets of the docs found there (manifest pruning both times —
+assertable via ``live_files``), candidate-joins, and verifies with
+exact Jaccard over the candidate documents only. Cost scales with the
+batch and its collisions, never with the corpus.
 
 Reference analog: the import pipeline's per-part incremental insert —
 new parts update derived artifacts without recomputing closed ones
@@ -40,21 +45,32 @@ from radiant_portal_pipeline_spark.text.dedup import (
     word_shingles,
 )
 
-_INDEX_SCHEMA = T.StructType(
+_BANDS_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("band_id", T.IntegerType(), False),
         T.StructField("band_hash", T.LongType(), False),
-        T.StructField("n_sh", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+_VERSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("vbucket", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
         T.StructField("epoch", T.LongType(), False),
     ]
 )
 
 
+def _vbucket(col, num_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
 def _banded(docs: DataFrame, k: int, num_buckets: int) -> DataFrame:
-    """(bucket, doc_id, band_id, band_hash, n_sh) for a document set —
-    the SAME banding as the batch path (minhash_signatures feeds the
+    """(bucket, doc_id, band_id, band_hash) for a document set — the
+    SAME banding as the batch path (minhash_signatures feeds the
     identical band fold used by lsh_candidate_pairs)."""
     sigs = minhash_signatures(docs, k=k)
     rows_per_band = N_HASHES // N_BANDS
@@ -75,13 +91,9 @@ def _banded(docs: DataFrame, k: int, num_buckets: int) -> DataFrame:
             ).alias("band_hash"),
         ),
     )
-    sizes = word_shingles(docs, k=k).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh")
-    )
     return (
         sigs.select("doc_id", F.explode(bands).alias("b"))
         .select("doc_id", "b.band_id", "b.band_hash")
-        .join(sizes, "doc_id")
         .withColumn(
             "bucket",
             F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(num_buckets)).cast(
@@ -92,33 +104,49 @@ def _banded(docs: DataFrame, k: int, num_buckets: int) -> DataFrame:
 
 
 class IncrementalMinHashIndex:
-    """LSH band index as a lake table that CDC batches keep current."""
+    """LSH band index as lake tables that CDC batches keep current."""
 
-    def __init__(self, table: LakeTable, k: int = 3):
-        self.table = table
-        self.k = k
-        self.num_buckets = int(table.snapshot().properties["num_buckets"])
+    def __init__(self, bands: LakeTable, versions: LakeTable):
+        self.bands = bands
+        self.versions = versions
+        props = bands.snapshot().properties
+        self.num_buckets = int(props["num_buckets"])
+        # k determines the stored band hashes — it is part of the
+        # index's IDENTITY (a probe with a different k would compute
+        # incomparable hashes and silently return ~nothing), so it is
+        # persisted at create and never taken from the caller on load
+        self.k = int(props["shingle_k"])
 
     @staticmethod
     def create(
         spark: SparkSession, path: str, num_buckets: int = 32, k: int = 3
     ) -> "IncrementalMinHashIndex":
-        tbl = LakeTable.create(
+        bands = LakeTable.create(
             spark,
-            path,
-            _INDEX_SCHEMA,
+            f"{path}/bands",
+            _BANDS_SCHEMA,
             partition_col="bucket",
             properties={
                 "num_buckets": num_buckets,
+                "shingle_k": k,
                 "manifest_split": True,
                 "stats_cols": ["epoch"],
             },
         )
-        return IncrementalMinHashIndex(tbl, k=k)
+        versions = LakeTable.create(
+            spark,
+            f"{path}/versions",
+            _VERSIONS_SCHEMA,
+            partition_col="vbucket",
+            properties={"num_buckets": num_buckets, "manifest_split": True},
+        )
+        return IncrementalMinHashIndex(bands, versions)
 
     @staticmethod
-    def load(spark: SparkSession, path: str, k: int = 3) -> "IncrementalMinHashIndex":
-        return IncrementalMinHashIndex(LakeTable(spark, path), k=k)
+    def load(spark: SparkSession, path: str) -> "IncrementalMinHashIndex":
+        return IncrementalMinHashIndex(
+            LakeTable(spark, f"{path}/bands"), LakeTable(spark, f"{path}/versions")
+        )
 
     # ------------------------------------------------------------ write
 
@@ -130,33 +158,54 @@ class IncrementalMinHashIndex:
         rows = _banded(docs, self.k, self.num_buckets).withColumn(
             "epoch", F.lit(epoch).cast("long")
         )
-        laid = rows.select([f.name for f in _INDEX_SCHEMA.fields]).repartition(
+        laid = rows.select([f.name for f in _BANDS_SCHEMA.fields]).repartition(
             self.num_buckets, F.col("bucket")
         )
-        self.table.append(laid, source_id="minhash", epoch=epoch, layout_ready=True)
+        self.bands.append(laid, source_id="minhash", epoch=epoch, layout_ready=True)
+        vers = docs.select(
+            _vbucket(F.col("doc_id"), self.num_buckets).alias("vbucket"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(epoch).cast("long").alias("epoch"),
+        ).repartition(self.num_buckets, F.col("vbucket"))
+        self.versions.append(
+            vers, source_id="minhash", epoch=epoch, layout_ready=True
+        )
 
     def compact(self) -> None:
-        """Fold each bucket to its docs' LATEST-epoch rows (drop rows
-        superseded by a re-index). Partition-scoped rewrite."""
-        snap = self.table.snapshot()
-        base_version = snap.version
-        cur = self.table.read(version=base_version)
-        latest = cur.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+        """Fold both tables to each doc's LATEST-epoch rows (drop rows
+        superseded by a re-index). Partition-scoped rewrites."""
+        vsnap = self.versions.snapshot()
+        vcur = self.versions.read(version=vsnap.version)
+        vlatest = (
+            vcur.groupBy("vbucket", "doc_id")
+            .agg(F.max("epoch").alias("epoch"))
+            .select([f.name for f in _VERSIONS_SCHEMA.fields])
+            .repartition(self.num_buckets, F.col("vbucket"))
+        )
+        self.versions.overwrite_partitions(
+            vlatest,
+            also_replace=sorted(vsnap.files.keys()),
+            layout_ready=True,
+            base_version=vsnap.version,
+        )
+        bsnap = self.bands.snapshot()
+        cur = self.bands.read(version=bsnap.version)
+        latest = vcur.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
         fresh = cur.join(latest, ["doc_id", "epoch"], "left_semi").repartition(
             self.num_buckets, F.col("bucket")
         )
-        self.table.overwrite_partitions(
+        self.bands.overwrite_partitions(
             fresh,
-            also_replace=sorted(snap.files.keys()),
+            also_replace=sorted(bsnap.files.keys()),
             layout_ready=True,
-            base_version=base_version,
+            base_version=bsnap.version,
         )
 
     # ------------------------------------------------------------- read
 
     def probe_buckets(self, docs: DataFrame) -> list[int]:
-        """The index partitions a batch's bands hash into — the read
-        set ``near_dups_of`` opens (for pruning assertions)."""
+        """The band partitions a batch's bands hash into — the read set
+        ``near_dups_of`` opens (for pruning assertions)."""
         rows = _banded(docs, self.k, self.num_buckets)
         return sorted(r["bucket"] for r in rows.select("bucket").distinct().collect())
 
@@ -168,22 +217,30 @@ class IncrementalMinHashIndex:
         batch ``minhash_lsh_dedup`` restricted to the batch's docs.
         Call ``update(batch, epoch)`` first so within-batch pairs are
         found too. ``corpus`` supplies text for the verify step; only
-        candidate docs' rows are read from it (semi join)."""
+        candidate docs' rows are read from it (semi join).
+
+        Reads are pruned END TO END: band buckets the batch hashes
+        into, then ONLY the version buckets of the docs found there —
+        never a full scan of either table."""
         probe = _banded(batch, self.k, self.num_buckets).localCheckpoint(eager=True)
         buckets = sorted(
             r["bucket"] for r in probe.select("bucket").distinct().collect()
         )
-        idx = self.table.read(partitions=buckets)
-        # mask rows superseded by a later re-index of the same doc.
-        # The watermark scan is bucket-pruned too: a stale row outside
-        # the probed buckets can only FAIL to mask a probed row if the
-        # doc's latest epoch lives elsewhere — so the watermark must
-        # come from the FULL index, which the per-doc max over the
-        # slim (doc_id, epoch) projection keeps cheap (column-pruned
-        # scan, hash agg).
+        idx = self.bands.read(partitions=buckets).localCheckpoint(eager=True)
+        # latest-epoch mask for EXACTLY the docs the probe collided
+        # with: their vbuckets are computable in-plan, so the versions
+        # read is manifest-pruned to those buckets (O(collisions), not
+        # O(corpus) — the round-3 review caught a full-index scan here)
+        vbuckets = sorted(
+            r["vb"]
+            for r in idx.select(
+                _vbucket(F.col("doc_id"), self.num_buckets).alias("vb")
+            )
+            .distinct()
+            .collect()
+        )
         latest = (
-            self.table.read()
-            .select("doc_id", "epoch")
+            self.versions.read(partitions=vbuckets)
             .groupBy("doc_id")
             .agg(F.max("epoch").alias("epoch"))
         )

@@ -274,6 +274,7 @@ def t_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_incremental_index.py; here the two-step union result is
     returned — identical rows to t_minhash_lsh_dedup by construction
     (same bands, same hashes, same verify tail)."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -286,11 +287,18 @@ def t_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = d.approxQuantile("doc_id", [0.5], 0.0)[0]
     b1 = d.filter(F.col("doc_id") <= mid)
     b2 = d.filter(F.col("doc_id") > mid)
-    ix = IncrementalMinHashIndex.create(
-        spark, tempfile.mkdtemp(prefix="ix_") + "/ix", num_buckets=32
-    )
-    ix.update(b1, epoch=0)
-    p1 = ix.near_dups_of(b1, d)
-    ix.update(b2, epoch=1)
-    p2 = ix.near_dups_of(b2, d)
-    return p1.union(p2).distinct()
+    work = tempfile.mkdtemp(prefix="ix_")
+    try:
+        ix = IncrementalMinHashIndex.create(spark, work + "/ix", num_buckets=32)
+        ix.update(b1, epoch=0)
+        p1 = ix.near_dups_of(b1, d)
+        ix.update(b2, epoch=1)
+        p2 = ix.near_dups_of(b2, d)
+        out = p1.union(p2).distinct()
+        # materialize the (small) pair set so the scratch index can be
+        # deleted — returning a lazy plan over a leaked temp dir would
+        # grow /tmp by a full index per adjudication run
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

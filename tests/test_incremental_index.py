@@ -69,9 +69,9 @@ def test_reindex_masks_stale_bands(spark, tmp_path):
     assert _pairs(ix.near_dups_of(_docs(spark, [(1, text)]), corpus)) == set()
 
     # compaction drops the superseded rows physically
-    before = ix.table.read().count()
+    before = ix.bands.read().count()
     ix.compact()
-    after = ix.table.read().count()
+    after = ix.bands.read().count()
     assert after < before
     assert _pairs(ix.near_dups_of(v2docs, corpus)) == set()
 
@@ -82,9 +82,53 @@ def test_probe_reads_only_probed_buckets(spark, tmp_path):
     ix.update(corpus, epoch=0)
     one = corpus.filter(F.col("doc_id") == 3)
     probed = ix.probe_buckets(one)
-    opened = ix.table.live_files(partitions=probed)
-    total = ix.table.live_files()
+    opened = ix.bands.live_files(partitions=probed)
+    total = ix.bands.live_files()
     # one doc probes at most N_BANDS buckets of 16 — the candidate read
     # must open only those buckets' files (manifest pruning)
     assert 0 < len(opened) < len(total)
     assert set(opened) <= set(total)
+
+
+def test_k_is_index_identity(spark, tmp_path):
+    """Shingle size k determines the stored band hashes — load() must
+    take it from the table, never the caller (round-3 review: a k
+    mismatch silently returned ~no candidates)."""
+    ix = IncrementalMinHashIndex.create(
+        spark, str(tmp_path / "ix"), num_buckets=8, k=5
+    )
+    docs = _docs(spark, [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i k")])
+    ix.update(docs, epoch=0)
+    again = IncrementalMinHashIndex.load(spark, str(tmp_path / "ix"))
+    assert again.k == 5
+    assert _pairs(again.near_dups_of(docs, docs)) == _pairs(
+        ix.near_dups_of(docs, docs)
+    )
+
+
+def test_versions_read_is_bucket_pruned(spark, tmp_path):
+    """Masking must not scan the whole versions table: only the
+    vbuckets of docs the probe collided with are opened."""
+    corpus = _corpus(spark, n=200).localCheckpoint(eager=True)
+    ix = IncrementalMinHashIndex.create(spark, str(tmp_path / "ix"), num_buckets=16)
+    ix.update(corpus, epoch=0)
+    one = corpus.filter(F.col("doc_id") == 3)
+    probed = ix.probe_buckets(one)
+    idx_docs = {
+        r["doc_id"]
+        for r in ix.bands.read(partitions=probed).select("doc_id").distinct().collect()
+    }
+    from radiant_portal_pipeline_spark.text.incremental import _vbucket
+    import pyspark.sql.functions as FF
+
+    vb = sorted(
+        r["vb"]
+        for r in spark.createDataFrame([(d,) for d in idx_docs], "doc_id long")
+        .select(_vbucket(FF.col("doc_id"), 16).alias("vb"))
+        .distinct()
+        .collect()
+    )
+    opened = ix.versions.live_files(partitions=vb)
+    total = ix.versions.live_files()
+    assert set(opened) <= set(total)
+    assert len(vb) <= 16

@@ -487,3 +487,39 @@ def test_append_only_rejected_for_cow(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="append_only"):
         TranscriptMergeEngine(tbl, mode="cow", merge_plan="append_only")
+
+
+def test_append_only_lineage_counts_per_key(spark, tmp_path):
+    """Lineage I/U/D counts are per KEY even when the write path
+    elides dedup (append_only writes raw rows; the metrics fold a slim
+    projection — round-3 review finding)."""
+    from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    lineage = LineageWriter(spark, str(tmp_path / "lin"))
+    eng = TranscriptMergeEngine(
+        tbl, num_buckets=4, merge_plan="append_only", lineage=lineage
+    )
+    # key (c1,0): two update rows (a dup to fold); key (c2,0): update
+    # then delete (must count ONLY as deleted); key (c3,0): one insert
+    eng.merge_batch(
+        _batch(
+            spark,
+            [
+                _ev("c1", 0, "U", 1, "a"),
+                _ev("c1", 0, "U", 2, "b"),
+                _ev("c2", 0, "U", 3, "c"),
+                _ev("c2", 0, "D", 4, "d"),
+                _ev("c3", 0, "I", 5, "e"),
+            ],
+        ),
+        epoch=0,
+    )
+    row = (
+        lineage.read()
+        .groupBy()
+        .sum("rows_inserted", "rows_updated", "rows_deleted")
+        .head()
+    )
+    ins, upd, dele = row[0], row[1], row[2]
+    assert (ins, upd, dele) == (2, 0, 1), (ins, upd, dele)
