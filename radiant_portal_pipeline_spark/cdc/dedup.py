@@ -65,7 +65,9 @@ def argmax_eligible(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str
     return not _has_map_type(df)
 
 
-def argmax_winner_rows(df: DataFrame, keys: Sequence[str], order: str) -> DataFrame:
+def argmax_winner_rows(
+    df: DataFrame, keys: Sequence[str], order: str, broadcast: bool = False
+) -> DataFrame:
     """The argmax core: hash-aggregate ``max(order)`` per key, then a
     shuffled-hash LEFT SEMI join selects the winning rows. The result
     may still contain VERBATIM copies of a winner (at-least-once
@@ -78,14 +80,42 @@ def argmax_winner_rows(df: DataFrame, keys: Sequence[str], order: str) -> DataFr
     DROPPING null-key rows — where the max-struct plan groups them
     (SQL GROUP BY keeps a NULL group) and where the merge engine's
     null-key raise_error guard must still get to fire. <=> joins are
-    still planned as shuffled-hash equi-joins."""
+    still planned as shuffled-hash equi-joins.
+
+    NULL order contract is ENFORCED in the plan: a key whose rows are
+    ALL NULL in the order column aggregates to a NULL max, and the
+    null-safe semi join would then match every row of the key —
+    silently breaking the one-row-per-key invariant the max-struct
+    plan keeps. A raise_error guard on the (thin) winners side fails
+    the query with a clear message instead; callers with possibly
+    all-NULL order keys should use ``via="max_struct"``.
+
+    ``broadcast=True`` ships the winners to every task instead of
+    shuffling the full rows: the semi join becomes a BroadcastHashJoin
+    and the batch side moves through ZERO exchanges. Correct whenever
+    the deduped key count is small relative to the batch (the
+    update-heavy CDC case); callers must bound the winners size (the
+    merge engine's adaptive chooser estimates it from a key sample).
+    """
     keys = list(keys)
     winners = df.select(*keys, order).groupBy(*keys).agg(F.max(order).alias(order))
+    guarded = F.when(F.col(order).isNotNull(), F.col(order)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"argmax LWW: a key has ALL-NULL {order!r} — the winner is "
+                f"undefined and the semi join would return every row of the "
+                f"key; enforce a non-null order column or use via='max_struct'"
+            )
+        ).cast(dict(df.dtypes)[order])
+    )
+    winners = winners.withColumn(order, guarded)
     lhs, rhs = df.alias("_l"), winners.alias("_r")
     cond = None
     for c in [*keys, order]:
         eq = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
         cond = eq if cond is None else (cond & eq)
+    if broadcast:
+        return lhs.join(F.broadcast(rhs), cond, "left_semi")
     return lhs.join(rhs.hint("SHUFFLE_HASH"), cond, "left_semi")
 
 
@@ -111,10 +141,12 @@ def lww_dedup(
     NULL order values: rows whose order tuple is NULL lose to any
     non-NULL row (NULLs sort first). A key whose rows are ALL NULL in
     the order column is outside the contract ("order_cols must make
-    the winner unique"): max_struct/window pick one row, the argmax
-    plan returns every distinct row of the key (max() ignores NULLs,
-    and NULL <=> NULL matches them all) — callers must enforce
-    non-null order columns (the merge engine raises on NULL lsn)."""
+    the winner unique"): max_struct/window pick one row; the argmax
+    plan RAISES at runtime (a raise_error branch on the winners side —
+    max() ignores NULLs and NULL <=> NULL would otherwise match every
+    row of the key, silently losing the one-row-per-key invariant).
+    Callers that cannot enforce a non-null order column should pass
+    ``via="max_struct"``."""
     keys = list(keys)
     order_cols = list(order_cols)
     if via in ("auto", "no_argmax") and not use_window:

@@ -85,11 +85,16 @@ class TranscriptMergeEngine:
         mode: str = "mor",
         lineage=None,
         merge_plan: str = "adaptive",
+        append_only_enabled: bool = True,
+        dup_share_threshold: float = 0.03,
+        chooser_rsd: float = 0.01,
+        broadcast_max_winners: int = 2_000_000,
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
         if merge_plan not in (
-            "adaptive", "argmax", "append_only", "two_phase", "single_exchange"
+            "adaptive", "argmax", "argmax_broadcast", "append_only",
+            "two_phase", "single_exchange",
         ):
             raise ValueError(f"unknown merge_plan {merge_plan!r}")
         if merge_plan == "append_only" and mode != "mor":
@@ -120,6 +125,12 @@ class TranscriptMergeEngine:
         self.mode = mode
         self.merge_plan = merge_plan
         self.lineage = lineage  # optional LineageWriter (cdc.lineage)
+        # adaptive-chooser knobs (see _choose_plan): operators with
+        # unusual feeds tune or disable the elision instead of forking
+        self.append_only_enabled = bool(append_only_enabled)
+        self.dup_share_threshold = float(dup_share_threshold)
+        self.chooser_rsd = float(chooser_rsd)
+        self.broadcast_max_winners = int(broadcast_max_winners)
 
     @staticmethod
     def create_table(spark, path: str, num_buckets: int = 32) -> LakeTable:
@@ -175,38 +186,58 @@ class TranscriptMergeEngine:
 
         keys = [S.PART_COL, *self.key_cols]
         if argmax_eligible(df, keys, [self.lsn_col]):
-            # insert-dominant batches (~no duplicate keys) skip the
-            # write-path dedup entirely: MoR read-side LWW + compaction
-            # already guarantee the same read results, and eliding the
-            # winners agg + semi join measures ~40% faster on a 16M-row
-            # all-new-keys batch (BENCH.md). Safe only under MoR (CoW
-            # must fold), and a wrong guess costs bounded storage until
-            # compact, never correctness. Decided from the same cheap
-            # deterministic ~2% KEY-hash sample as the skew chooser —
-            # whole keys are in or out, so a sampled hot key shows its
-            # full duplicate mass; the known blind spot is duplication
-            # concentrated in a HANDFUL of keys (each caught w.p. ~2%
-            # per batch), where most batches will elide and carry the
-            # duplicate volume to compaction — the incremental
-            # compaction policy (min_files_per_bucket) is the backstop.
+            # One FULL-COVERAGE estimator job decides both remaining
+            # choices: n rows + HLL distinct keys (approx_count_distinct
+            # over xxhash64(keys) at rsd=chooser_rsd — map-side partial
+            # sketches, one tiny exchange, a thin columnar scan; no
+            # key-wise shuffle). HLL sees EVERY key, so duplicate mass
+            # concentrated in a handful of hot keys is detected
+            # deterministically — the round-3 ~2% key-hash sample
+            # caught each hot key only w.p. 2%/batch and such feeds
+            # elided on most batches (the documented blind spot, now
+            # closed). Both estimates are deterministic per batch
+            # content, so replays choose the same plan.
+            #
+            # - dup_share < threshold (insert-dominant) -> append_only:
+            #   skip the write-path dedup entirely. MoR read-side LWW +
+            #   compaction already guarantee the same read results;
+            #   eliding measures ~40% faster on a 16M-row all-new-keys
+            #   batch (BENCH.md). A wrong borderline guess costs
+            #   bounded storage until compact, never correctness.
+            # - est distinct keys <= broadcast_max_winners ->
+            #   argmax_broadcast: the winners (keys+lsn) ship to every
+            #   task and the batch's FULL ROWS move through ZERO
+            #   exchanges — the full-row shuffle is the dominant memory
+            #   traffic of the update-heavy path (BENCH.md round-4).
+            # - else -> shuffled argmax (winners too big to broadcast).
             if self.mode == "mor":
-                sample = df.filter(
-                    F.pmod(F.xxhash64(*self.key_cols, F.lit(17)), F.lit(50)) == 0
-                )
-                row = sample.agg(
+                row = df.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.count_distinct(*[F.col(c) for c in self.key_cols]).alias(
-                        "nk"
-                    ),
+                    F.approx_count_distinct(
+                        F.xxhash64(*self.key_cols), self.chooser_rsd
+                    ).alias("nk"),
                 ).head()
                 if row is not None and row["n"]:
-                    dup_share = 1.0 - row["nk"] / row["n"]
-                    if dup_share < 0.02:
+                    dup_share = max(0.0, 1.0 - row["nk"] / row["n"])
+                    if (
+                        self.append_only_enabled
+                        and dup_share < self.dup_share_threshold
+                    ):
                         return (
                             "append_only",
-                            f"dup_share={dup_share:.4f}<0.02 (insert-dominant)",
+                            f"dup_share~{dup_share:.4f}<"
+                            f"{self.dup_share_threshold} (insert-dominant)",
                         )
-                    return "argmax", f"dup_share={dup_share:.4f}>=0.02"
+                    if row["nk"] <= self.broadcast_max_winners:
+                        return (
+                            "argmax_broadcast",
+                            f"dup_share~{dup_share:.4f}, est_keys~{row['nk']}"
+                            f"<={self.broadcast_max_winners}",
+                        )
+                    return (
+                        "argmax",
+                        f"est_keys~{row['nk']}>{self.broadcast_max_winners}",
+                    )
             return "argmax", "argmax_eligible(dominates both static plans)"
         p = max(int(self.table.spark.sparkContext.defaultParallelism), 1)
         if self.num_buckets < p:
@@ -271,7 +302,7 @@ class TranscriptMergeEngine:
             # write-path dedup elided (insert-dominant batch, MoR):
             # read-side LWW resolves any duplicates; compact() folds
             return df.repartition(self.num_buckets, F.col(S.PART_COL))
-        if plan == "argmax":
+        if plan in ("argmax", "argmax_broadcast"):
             from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
 
             # layout repartition BETWEEN the semi join and the verbatim-
@@ -279,8 +310,14 @@ class TranscriptMergeEngine:
             # then satisfied by hashpartitioning(part) (subset rule), so
             # it runs partition-local with NO exchange of its own — the
             # null-safe join's coalesce-keyed output partitioning would
-            # otherwise force one
-            rows = argmax_winner_rows(df, keys, order_cols[0])
+            # otherwise force one. In the broadcast variant the semi
+            # join is a BroadcastHashJoin, so the batch's full rows
+            # reach this repartition WITHOUT any prior exchange — and
+            # the repartition itself carries only the already-deduped
+            # winners, typically a small fraction of the raw batch.
+            rows = argmax_winner_rows(
+                df, keys, order_cols[0], broadcast=(plan == "argmax_broadcast")
+            )
             laid = rows.repartition(self.num_buckets, F.col(S.PART_COL))
             return laid.dropDuplicates().select(*df.columns)
         # legacy topologies: "no_argmax" resolves to max_struct for
@@ -395,14 +432,33 @@ class TranscriptMergeEngine:
         src = prepared.withColumn(_SRC_RANK, F.lit(1))
         tgt = existing.withColumn(_SRC_RANK, F.lit(0))
         unioned = src.unionByName(tgt, allowMissingColumns=True)
+        if plan == "argmax_broadcast":
+            # CoW folds the batch with ALL existing keys of the touched
+            # buckets — the winners set is table-scale, not batch-scale,
+            # so the broadcast variant's size estimate does not apply;
+            # fall back to the shuffled argmax join.
+            plan = "argmax"
         if plan == "argmax":
             # fold the (lsn, src_rank) ordering into ONE bigint so the
             # argmax plan stays eligible (it needs a single order
-            # column): batch beats existing at equal lsn. Safe while
-            # lsn < 2^62 — a WAL/binlog offset is far below.
-            unioned = unioned.withColumn(
-                "_ord", F.col(self.lsn_col) * 2 + F.col(_SRC_RANK)
+            # column): batch beats existing at equal lsn. The fold is
+            # only order-preserving while lsn < 2^62 (a WAL/binlog
+            # offset is far below) — ENFORCED in the plan, not assumed:
+            # an overflowing lsn fails the batch instead of silently
+            # electing the wrong winner.
+            folded = F.when(
+                F.col(self.lsn_col) < F.lit(1 << 62),
+                F.col(self.lsn_col) * 2 + F.col(_SRC_RANK),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"CoW argmax ordering fold requires "
+                        f"{self.lsn_col} < 2^62; use "
+                        f"merge_plan='two_phase' for larger offsets"
+                    )
+                ).cast("bigint")
             )
+            unioned = unioned.withColumn("_ord", folded)
             merged = self._dedup_and_layout(
                 unioned.drop(_SRC_RANK),
                 [S.PART_COL, *self.key_cols],

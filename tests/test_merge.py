@@ -523,3 +523,122 @@ def test_append_only_lineage_counts_per_key(spark, tmp_path):
     )
     ins, upd, dele = row[0], row[1], row[2]
     assert (ins, upd, dele) == (2, 0, 1), (ins, upd, dele)
+
+
+def test_argmax_all_null_order_raises(spark):
+    """A key whose rows are ALL NULL in the order column has no defined
+    winner: the argmax plan must fail loudly (round-3 advice: max()
+    ignores NULLs and the null-safe semi join would match every row,
+    silently breaking one-row-per-key), while max_struct keeps its
+    pick-one semantics for callers that opt into it."""
+    rows = [
+        _ev("c1", 0, "U", 1, "a"),
+        _ev("c1", 0, "U", 2, "b"),
+        _ev("c2", 0, "U", 7, "c"),
+    ]
+    # CHANGE_EVENT_SCHEMA declares lsn non-null; nullify inside the plan
+    df = _batch(spark, rows).withColumn(
+        "lsn",
+        F.when(F.col("conv_id") != "c1", F.col("lsn")).cast("bigint"),
+    )
+    with pytest.raises(Exception, match="ALL-NULL"):
+        lww_dedup(df, ["conv_id", "turn_idx"], ["lsn"], via="argmax").collect()
+    got = lww_dedup(df, ["conv_id", "turn_idx"], ["lsn"], via="max_struct")
+    assert got.count() == 2  # one row per key, NULL-order key included
+
+
+def test_cow_argmax_lsn_overflow_raises(spark, tmp_path):
+    """The CoW ordering fold lsn*2+src_rank is only order-preserving
+    below 2^62 — the contract is enforced in the plan, not assumed."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl, mode="cow", merge_plan="argmax")
+    ok = _batch(spark, [_ev("c1", 0, "U", 10, "fine")])
+    eng.merge_batch(ok, epoch=0)
+    bad = _batch(spark, [_ev("c1", 0, "U", 1 << 62, "boom")])
+    with pytest.raises(Exception, match="2\\^62"):
+        eng.merge_batch(bad, epoch=1)
+
+
+def _keyed_batch(spark, rows_per_key: dict[tuple[str, int], int], lsn0: int):
+    rows, lsn = [], lsn0
+    for (conv, turn), n in rows_per_key.items():
+        for i in range(n):
+            rows.append(_ev(conv, turn, "U", lsn, f"t-{lsn}"))
+            lsn += 1
+    return _batch(spark, rows)
+
+
+def test_adaptive_never_elides_on_hot_key_duplicate_batches(spark, tmp_path):
+    """Round-3 blind spot, closed: duplicate mass concentrated in a
+    HANDFUL of keys was caught w.p. ~2%/batch by the key-hash sample,
+    so such batches elided dedup on most batches. The full-coverage
+    HLL estimator sees every key: a feed alternating hot-key-duplicate
+    batches with insert batches must NEVER choose append_only on the
+    duplicate batches (and still keeps the elision for the inserts)."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=8)
+    eng = TranscriptMergeEngine(tbl, num_buckets=8, merge_plan="adaptive")
+    lsn = 0
+    for e in range(6):
+        if e % 2 == 0:  # insert batch: every key exactly once
+            batch = _keyed_batch(
+                spark, {(f"c{e}-{i}", 0): 1 for i in range(2000)}, lsn
+            )
+        else:  # duplicate batch: 3 hot keys carry ~95% of the rows
+            spec = {(f"hot-{j}", 0): 650 for j in range(3)}
+            spec.update({(f"d{e}-{i}", 0): 1 for i in range(100)})
+            batch = _keyed_batch(spark, spec, lsn)
+        lsn += 10_000
+        stats = eng.merge_batch(batch, epoch=e)
+        if e % 2 == 0:
+            assert stats.plan == "append_only", (e, stats.plan)
+        else:
+            assert stats.plan != "append_only", (e, stats.plan)
+
+
+def test_argmax_broadcast_equals_shuffled_and_chooser_picks_it(spark, tmp_path):
+    """The broadcast semi-join variant (zero full-row exchanges) must
+    be result-identical to the shuffled argmax, and the adaptive
+    chooser must resolve to it for an update-heavy batch whose key
+    count fits the broadcast bound."""
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    feed = synthetic_feed(spark, 20_000, n_convs=97, dup_frac=0.05).localCheckpoint(
+        eager=True
+    )
+
+    def replay(plan, name):
+        tbl = TranscriptMergeEngine.create_table(
+            spark, str(tmp_path / name), num_buckets=8
+        )
+        eng = TranscriptMergeEngine(tbl, num_buckets=8, merge_plan=plan)
+        stats = []
+        for e in range(2):
+            stats.append(
+                eng.merge_batch(feed.filter(F.col("commit_epoch") % 2 == e), epoch=e)
+            )
+        return eng, stats
+
+    bc, _ = replay("argmax_broadcast", "bc")
+    sh, _ = replay("argmax", "sh")
+    ad, ad_stats = replay("adaptive", "ad")
+    want = sorted(map(tuple, sh.current_state().collect()))
+    assert sorted(map(tuple, bc.current_state().collect())) == want
+    assert sorted(map(tuple, ad.current_state().collect())) == want
+    # ~97 convs x 50 turns over 10k rows/batch -> heavy duplication,
+    # small winners: the chooser must take the broadcast path
+    assert all(s.plan == "argmax_broadcast" for s in ad_stats), [
+        s.plan for s in ad_stats
+    ]
+
+
+def test_chooser_knobs_disable_elision(spark, tmp_path):
+    """append_only_enabled=False must route insert-dominant batches to
+    a folding plan (operators with few-hot-key feeds opt out without
+    forking the chooser — round-3 advice)."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(
+        tbl, num_buckets=4, merge_plan="adaptive", append_only_enabled=False
+    )
+    batch = _keyed_batch(spark, {(f"c{i}", 0): 1 for i in range(1000)}, 0)
+    stats = eng.merge_batch(batch, epoch=0)
+    assert stats.plan != "append_only"
