@@ -122,18 +122,35 @@ class AffinityPartitionAssigner:
             mapping[(r["strategy"], r["affinity_key"])] = strat.mask + cur
 
         if mapping:
-            entries = []
-            for (s, k), p in mapping.items():
-                entries += [F.lit(f"{s}\x00{k}"), F.lit(p)]
-            lookup = F.create_map(*entries)
-            new_part = lookup[
-                F.concat_ws("\x00", F.col("strategy"), F.col("affinity_key"))
-            ]
+            # broadcast join, NOT a create_map literal: a map expression
+            # embeds O(groups) literals in the plan (Catalyst
+            # expression-size limits, driver memory); the broadcast
+            # frame ships once per executor and scales to arbitrarily
+            # many new groups per batch
+            spark = delta.sparkSession
+            schema = T.StructType(
+                [
+                    T.StructField("strategy", T.StringType(), False),
+                    T.StructField("affinity_key", T.StringType(), False),
+                    T.StructField("_new_part", T.IntegerType(), False),
+                ]
+            )
+            new_groups_df = spark.createDataFrame(
+                [(s, k, int(p)) for (s, k), p in mapping.items()], schema
+            )
+            enriched = enriched.join(
+                F.broadcast(new_groups_df), ["strategy", "affinity_key"], "left"
+            )
+            new_part = F.col("_new_part")
         else:
-            new_part = F.lit(None).cast("int")
-        return enriched.withColumn(
-            "part", F.coalesce(F.col("_aff_part"), new_part).cast("int")
-        ).drop("_aff_part")
+            enriched = enriched.withColumn("_new_part", F.lit(None).cast("int"))
+            new_part = F.col("_new_part")
+        return (
+            enriched.withColumn(
+                "part", F.coalesce(F.col("_aff_part"), new_part).cast("int")
+            )
+            .drop("_aff_part", "_new_part")
+        )
 
     # ------------------------------------------------- multi-dimension
 

@@ -173,7 +173,19 @@ class IncrementalMinHashIndex:
 
     def compact(self) -> None:
         """Fold both tables to each doc's LATEST-epoch rows (drop rows
-        superseded by a re-index). Partition-scoped rewrites."""
+        superseded by a re-index). Partition-scoped rewrites.
+
+        Safe against a concurrent ``update()`` (round-3 review race):
+        an update appends bands first, versions second, so a band row
+        can be visible while its version row is still in flight. The
+        bands rewrite therefore keeps every band row whose epoch is
+        ``>=`` the doc's known-latest version (or whose doc has no
+        version row yet) — an in-flight NEW epoch survives the rewrite
+        instead of being silently deleted (which would make the doc
+        permanently invisible to ``near_dups_of`` once its version row
+        landed). Rows that raced in AFTER either snapshot are covered
+        by the lake's base_version conflict check: the overwrite aborts
+        with ConcurrentModification and the caller retries."""
         vsnap = self.versions.snapshot()
         vcur = self.versions.read(version=vsnap.version)
         vlatest = (
@@ -190,9 +202,12 @@ class IncrementalMinHashIndex:
         )
         bsnap = self.bands.snapshot()
         cur = self.bands.read(version=bsnap.version)
-        latest = vcur.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
-        fresh = cur.join(latest, ["doc_id", "epoch"], "left_semi").repartition(
-            self.num_buckets, F.col("bucket")
+        latest = vcur.groupBy("doc_id").agg(F.max("epoch").alias("_latest"))
+        fresh = (
+            cur.join(latest, "doc_id", "left")
+            .filter(F.col("_latest").isNull() | (F.col("epoch") >= F.col("_latest")))
+            .drop("_latest")
+            .repartition(self.num_buckets, F.col("bucket"))
         )
         self.bands.overwrite_partitions(
             fresh,

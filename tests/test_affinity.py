@@ -156,3 +156,36 @@ def test_multi_key_null_dimensions_skipped_and_caps_roll(spark):
     }
     assert out["r1"] == out["r2"] == 0  # distinct groups, same part (cap 2)
     assert out["r3"] == 1
+
+
+def test_assign_scales_to_many_new_groups_without_plan_growth(spark):
+    """5,000 new groups in one batch: the broadcast-join map-back must
+    keep the plan size flat (a create_map literal embedded O(groups)
+    expressions and hit Catalyst limits — round-3 advice)."""
+    a = AffinityPartitionAssigner(STRATS)
+    delta = _df(spark, [(f"g{i}", "wgs") for i in range(5000)])
+    out = a.assign(delta, None)
+    rows = out.collect()
+    assert len(rows) == 5000
+    parts = {r["part"] for r in rows}
+    # cap=2 -> 2500 partitions, deterministic dense packing from 0
+    assert parts == set(range(2500))
+    # plan stays bounded: the string form must not embed per-group
+    # literals (create_map rendered every key inline)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "g4999" not in plan
+
+
+def test_assign_multi_cap_raised_100x(spark):
+    """assign_multi's delta-size guard is a safety valve, not the
+    mechanism: with the cap raised 100x the broadcast map-back must
+    still work (no Catalyst expression growth, no driver map literal)."""
+    a = AffinityPartitionAssigner(STRATS, max_delta_rows=10_000_000)
+    rows = [(f"r{i}", "wgs", f"p{i}", None) for i in range(3000)]
+    delta = spark.createDataFrame(
+        rows, "row_id string, strategy string, patient string, family string"
+    )
+    out = a.assign_multi(delta, None, affinity_cols=["patient", "family"])
+    got = out.collect()
+    assert len(got) == 3000
+    assert {r["part"] for r in got} == set(range(1500))

@@ -132,3 +132,49 @@ def test_versions_read_is_bucket_pruned(spark, tmp_path):
     total = ix.versions.live_files()
     assert set(opened) <= set(total)
     assert len(vb) <= 16
+
+
+def test_compact_keeps_in_flight_newer_epoch_bands(spark, tmp_path):
+    """Round-3 review race, closed: update() appends bands BEFORE
+    versions, so a concurrent compact() can see band rows whose version
+    row hasn't landed yet. The rewrite must KEEP any band row at an
+    epoch NEWER than the doc's known-latest version (or with no version
+    row at all) — deleting it would make the doc permanently invisible
+    to probes once its version row landed."""
+    corpus = _corpus(spark, n=30).localCheckpoint(eager=True)
+    ix = IncrementalMinHashIndex.create(spark, str(tmp_path / "ix"), num_buckets=8)
+    ix.update(corpus, epoch=0)
+
+    # simulate the in-flight update: bands of epoch 1 landed, version
+    # rows not yet (append bands directly, skip the versions append)
+    from radiant_portal_pipeline_spark.text.incremental import (
+        _BANDS_SCHEMA,
+        _banded,
+    )
+
+    reindexed = corpus.filter(F.col("doc_id") < 5)
+    rows = _banded(reindexed, ix.k, ix.num_buckets).withColumn(
+        "epoch", F.lit(1).cast("long")
+    )
+    laid = rows.select([f.name for f in _BANDS_SCHEMA.fields]).repartition(
+        ix.num_buckets, F.col("bucket")
+    )
+    ix.bands.append(laid, source_id="minhash", epoch=1, layout_ready=True)
+
+    ix.compact()
+
+    # the epoch-1 band rows survived the rewrite
+    kept = ix.bands.read().filter(F.col("epoch") == 1).count()
+    assert kept > 0
+    # ...so when the version row lands, probes still find those docs
+    vers = reindexed.select(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(ix.num_buckets))
+        .cast("int")
+        .alias("vbucket"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(1).cast("long").alias("epoch"),
+    ).repartition(ix.num_buckets, F.col("vbucket"))
+    ix.versions.append(vers, source_id="minhash", epoch=1, layout_ready=True)
+    probe = corpus.filter(F.col("doc_id") == 0)
+    found = ix.near_dups_of(probe, corpus)
+    assert found.count() > 0
