@@ -29,8 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_MERGE_EVENTS", "8000000"))
-MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "2"))
+# Official protocol defaults to the 16M-event DESIGN-POINT batch (one
+# batch): a production micro-batch at 10^10-event scale amortizes the
+# per-batch fixed cost (stage barriers + O(buckets) file writes +
+# commit) the way small bench batches do not (round-3 verdict #1).
+MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_MERGE_EVENTS", "16000000"))
+MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "1"))
 MERGE_RUNS = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS", "3"))
 # kept as a separate knob; the interleaved protocol below runs
 # max(MERGE_RUNS, MERGE_RUNS_HI) ALTERNATING (lo,hi) pairs
@@ -68,8 +72,8 @@ HEADLINE = [
 
 
 def _merge_replay_seconds(
-    spark, n_events: int, mode: str, merge_plan: str = "argmax",
-    hot_every: int = 5, buckets: int | None = None,
+    spark, n_events: int, mode: str, merge_plan: str = "adaptive",
+    hot_every: int = 5, buckets: int | None = None, sink: str = "table",
 ) -> dict:
     """Apply a synthetic feed in MERGE_BATCHES epoch slices; wall time.
     MoR additionally times a final compaction + state materialization."""
@@ -108,6 +112,17 @@ def _merge_replay_seconds(
     engine = TranscriptMergeEngine(
         tbl, num_buckets=nb, mode=mode, merge_plan=merge_plan
     )
+    if sink == "noop":
+        # scaling-floor probe: the SAME prepared plan (chooser + dedup +
+        # layout) driven into Spark's no-op sink — isolates the
+        # engine's distributed compute from the box's file/commit path,
+        # so the pairwise efficiency of this variant bounds what any
+        # write-side engineering could recover on this hardware
+        t0 = time.time()
+        for b, batch in enumerate(batches):
+            prepared, _, _ = engine._prepare_batch(batch)
+            prepared.write.format("noop").mode("overwrite").save()
+        return {"apply_seconds": time.time() - t0, "compact_seconds": 0.0}
     t0 = time.time()
     for b, batch in enumerate(batches):
         engine.merge_batch(batch, epoch=b)
@@ -119,8 +134,8 @@ def _merge_replay_seconds(
 
 
 def merge_only(
-    cpus: int, n_events: int, mode: str, merge_plan: str = "argmax",
-    hot_every: int = 5,
+    cpus: int, n_events: int, mode: str, merge_plan: str = "adaptive",
+    hot_every: int = 5, sink: str = "table",
 ) -> dict:
     from radiant_portal_pipeline_spark.session import get_spark
 
@@ -131,10 +146,12 @@ def merge_only(
         app_name=f"bench_merge_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
     )
-    rec = _merge_replay_seconds(spark, n_events, mode, merge_plan, hot_every)
+    rec = _merge_replay_seconds(
+        spark, n_events, mode, merge_plan, hot_every, sink=sink
+    )
     rec.update({"seconds": rec["apply_seconds"], "events": n_events, "cpus": cpus,
                 "mode": mode, "merge_plan": merge_plan, "hot_every": hot_every,
-                "buckets": merge_buckets(cpus)})
+                "buckets": merge_buckets(cpus), "sink": sink})
     return rec
 
 
@@ -230,9 +247,13 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=MERGE_EVENTS)
     ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
     ap.add_argument(
-        "--merge-plan", default="argmax",
-        choices=["argmax", "two_phase", "single_exchange", "adaptive"],
+        "--merge-plan", default="adaptive",
+        choices=[
+            "adaptive", "argmax", "argmax_broadcast", "two_phase",
+            "single_exchange",
+        ],
     )
+    ap.add_argument("--sink", default="table", choices=["table", "noop"])
     ap.add_argument("--hot-every", type=int, default=5)
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument(
@@ -250,7 +271,7 @@ def main() -> None:
             json.dumps(
                 merge_only(
                     args.cpus, args.events, args.mode, args.merge_plan,
-                    args.hot_every,
+                    args.hot_every, sink=args.sink,
                 )
             )
         )
@@ -305,7 +326,7 @@ def main() -> None:
     if not args.no_scaling:
         lo, hi = SCALE_LEVELS
 
-        def one_with_plan(level: int, plan: str) -> dict:
+        def one_with_plan(level: int, plan: str, sink: str = "table") -> dict:
             r = subprocess.run(
                 [
                     sys.executable,
@@ -321,6 +342,8 @@ def main() -> None:
                     plan,
                     "--hot-every",
                     str(args.hot_every),
+                    "--sink",
+                    sink,
                 ],
                 capture_output=True,
                 text=True,
@@ -378,6 +401,26 @@ def main() -> None:
             }
         except Exception as e:  # secondary evidence — never fail the bench
             cdc["alt_plan"] = {"plan": alt, "error": str(e)[:200]}
+
+        # one (lo, hi) PAIR of the DEFAULT plan into the no-op sink:
+        # same chooser + dedup + layout, zero file/commit work. Its
+        # pairwise efficiency is the box's compute-scaling floor for
+        # this exact plan — the gap between it and the table-sink
+        # number is what write-side engineering could recover here
+        try:
+            ns_pair = {
+                lv: one_with_plan(lv, args.merge_plan, sink="noop")
+                for lv in (lo, hi)
+            }
+            for rec in ns_pair.values():
+                rec["events_per_sec"] = round(rec["events"] / rec["seconds"], 1)
+            tp_ns = {lv: r["events"] / r["seconds"] for lv, r in ns_pair.items()}
+            cdc["null_sink"] = {
+                "levels": {str(lv): ns_pair[lv] for lv in (lo, hi)},
+                "scaling_efficiency": round(tp_ns[hi] / (tp_ns[lo] * ratio), 3),
+            }
+        except Exception as e:
+            cdc["null_sink"] = {"error": str(e)[:200]}
         lo_t = cdc["levels"][str(lo)]["events_per_sec"]
         hi_t = cdc["levels"][str(hi)]["events_per_sec"]
         # primary artifact: median of the per-pair efficiencies (each

@@ -137,24 +137,36 @@ class StreamResult:
 
 def run_cdc_stream(
     spark: SparkSession,
-    feed_dir: str,
+    feed_dir: str | None,
     engine: TranscriptMergeEngine,
     checkpoint_dir: str,
     lineage: LineageWriter | None = None,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     on_batch=None,
+    source_df=None,
 ) -> StreamResult | StreamingQuery:
     """Tail ``feed_dir`` and apply every micro-batch through the merge
     engine. ``availableNow`` drains all pending input then stops —
     rerunning with the same checkpoint processes only new files.
     ``on_batch(stats)`` runs after each applied micro-batch — the hook
     downstream incremental aggregates use to refresh only the buckets
-    that batch touched."""
-    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    feed = reader.parquet(feed_dir)
+    that batch touched.
+
+    ``source_df`` replaces the file tail with ANY streaming DataFrame
+    carrying the change-event envelope — e.g. the LSN-offset WAL
+    source (cdc/wal_source.py), or a kafka/rate read in a deployment.
+    The loop's exactly-once machinery is source-agnostic: Spark's
+    checkpoint persists the source's own offsets, and the engine's
+    applied-epoch guard absorbs redelivery regardless of offset
+    model."""
+    if source_df is not None:
+        feed = source_df
+    else:
+        reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        feed = reader.parquet(feed_dir)
 
     result = StreamResult()
     if lineage is not None:

@@ -397,3 +397,328 @@ def decode_png(b: bytes) -> dict:
         "height": height,
         "red_checksum": int(pixels[:, :, 0].astype(np.int64).sum()),
     }
+
+
+# ----------------------------------------------------------------- JPEG
+#
+# Baseline-sequential JFIF, grayscale (one component, no subsampling):
+# a REAL lossy codec — forward/inverse DCT, Annex K quantization and
+# Huffman tables, DPCM'd DC, (run,size) AC coding with ZRL/EOB, byte
+# stuffing — written from the public JPEG spec (ITU T.81), no codec
+# libs (the sandbox ships none; the reference's extraction pods install
+# theirs, tests/docker/test_docker.py:1-11). ``decode_jpeg`` accepts
+# any single-component baseline JPEG using one DC/one AC table.
+# ``synth_jpeg`` composes images of CONSTANT 8x8 blocks with even
+# values: their DCT is a bare DC coefficient exactly divisible by the
+# quantizer, so the lossy roundtrip is value-EXACT and a SQL oracle can
+# recompute the decoded checksum arithmetically; general (lossy)
+# patterns are covered by tests/test_multimodal roundtrip bounds.
+
+_JPEG_QT = [  # Annex K luminance quantization table, natural order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(bits, vals):
+    """(value -> (code, length)) per the spec's canonical construction."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / 2 ** 0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * __import__("math").cos((2 * x + 1) * u * 3.141592653589793 / 16)
+    return m
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(pixels) -> bytes:
+    """Baseline JFIF encoder for an (h, w) uint8 array; h and w must be
+    multiples of 8 (callers pad — the synthesizer always is)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    m = _dct_matrix()
+    qt = np.array(_JPEG_QT, dtype=np.float64).reshape(8, 8)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+
+    def emit_coeff(codes, run_size, value):
+        code, length = codes[run_size]
+        bw.write(code, length)
+        size = run_size & 0x0F
+        if size:
+            if value < 0:
+                value += (1 << size) - 1  # one's-complement negatives
+            bw.write(value, size)
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = m @ block @ m.T
+            q = np.round(coef / qt).astype(np.int64)
+            zz = q.reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = int(diff).bit_length() if diff else 0
+            emit_coeff(dc_codes, size, diff)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit_coeff(ac_codes, 0xF0, 0)  # ZRL
+                    run -= 16
+                emit_coeff(ac_codes, (run << 4) | v.bit_length() if v > 0
+                           else (run << 4) | (-v).bit_length(), v)
+                run = 0
+            if last_nz < 63:
+                emit_coeff(ac_codes, 0x00, 0)  # EOB
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QT[_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+def synth_jpeg(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic grayscale JPEG: constant 8x8 blocks with EVEN
+    values v(block i) = ((doc_id + 2i) % 128) * 2. A constant block's
+    DCT is a bare DC = 8*(v-128), divisible by the DC quantizer (16)
+    when v is even — the lossy pipeline reproduces the input exactly,
+    so the oracle can recompute the decoded checksum in SQL."""
+    import numpy as np
+
+    bw_, bh = width // 8, height // 8
+    px = np.zeros((height, width), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw_):
+            v = ((doc_id + 2 * (by * bw_ + bx)) % 128) * 2
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    return encode_jpeg_gray(px)
+
+
+class _BitReader:
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated entropy stream")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.b) or self.b[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # unstuff
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return out
+
+
+def _huff_decoder(bits, vals):
+    """(code, length) -> value lookup for sequential bit decode."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg(b: bytes, return_pixels: bool = False) -> dict:
+    """REAL baseline JPEG decode: marker walk (DQT/SOF0/DHT/SOS),
+    Huffman + DPCM entropy decode with ZRL/EOB and byte unstuffing,
+    dequantization, inverse DCT, level shift. Single-component
+    baseline only; anything else raises ValueError. Returns dims and
+    the gray-channel checksum of the reconstructed pixels."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = None
+    h = w = None
+    dc_tbl = ac_tbl = None
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        if pos + 2 + ln > len(b) or ln < 2:
+            raise ValueError("truncated or malformed segment")
+        payload = b[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            if payload[0] & 0x0F:
+                raise ValueError("only 8-bit quant tables supported")
+            zz = payload[1:65]
+            qt = [0] * 64
+            for i in range(64):
+                qt[_ZIGZAG[i]] = zz[i]
+        elif marker == 0xC0:
+            depth, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if depth != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                tc_th = payload[off]
+                bits = list(payload[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + n])
+                if tc_th >> 4 == 0:
+                    dc_tbl = _huff_decoder(bits, vals)
+                else:
+                    ac_tbl = _huff_decoder(bits, vals)
+                off += 17 + n
+        elif marker == 0xDA:
+            scan = b[pos + 2 + ln :]
+            break
+        pos += 2 + ln
+    if qt is None or h is None or dc_tbl is None or ac_tbl is None or scan is None:
+        raise ValueError("missing DQT/SOF0/DHT/SOS")
+
+    def read_code(br, table):
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read(1)
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+    def extend(v, size):
+        return v - ((1 << size) - 1) if size and v < (1 << (size - 1)) else v
+
+    m = _dct_matrix()
+    qtm = np.array(qt, dtype=np.float64).reshape(8, 8)
+    br = _BitReader(scan)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.float64)
+            size = read_code(br, dc_tbl)
+            prev_dc += extend(br.read(size), size) if size else 0
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = read_code(br, ac_tbl)
+                if rs == 0x00:
+                    break  # EOB
+                if rs == 0xF0:
+                    i += 16
+                    continue
+                i += rs >> 4
+                if i > 63:
+                    raise ValueError("AC index overrun")
+                size = rs & 0x0F
+                zz[i] = extend(br.read(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz
+            block = m.T @ (coef.reshape(8, 8) * qtm) @ m
+            px = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    res = {
+        "width": int(w),
+        "height": int(h),
+        "gray_checksum": int(out.astype(np.int64).sum()),
+    }
+    if return_pixels:
+        res["pixels"] = out
+    return res

@@ -246,13 +246,43 @@ def q35_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "zz_gate_canary",
-    oracle="SELECT r_regionkey, r_name FROM region",
+    "q38_range_bin_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS iv_id, o_orderkey % 24 AS chrom,
+             (o_orderkey % 40) * 10.0 AS lo,
+             (o_orderkey % 40) * 10.0 + 60.0 AS hi
+      FROM orders),
+    pt AS (SELECT event_id, user_id % 24 AS chrom, value AS pos FROM events)
+    SELECT iv.iv_id, COUNT(*) AS n_points
+    FROM pt JOIN iv ON pt.chrom = iv.chrom
+                   AND pt.pos >= iv.lo AND pt.pos <= iv.hi
+    GROUP BY iv.iv_id
+    """,
 )
-def zz_gate_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered at position 51 EXACTLY (see registry.GATE_ORDER): the
-    driver's correctness gate has adjudicated precisely the first 50
-    registry entries in both prior rounds. If this trivial query
-    appears in a CORRECTNESS file, the cap is >50 and the tail queries
-    are being adjudicated as well."""
-    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+def q38_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 at the reference's TRUE cardinality: the cytoband overlap
+    join's equi key is the chromosome — ~24 distinct values
+    (germline_cnv_occurrence_insert_partition_delta.sql:1-21) — so a
+    key-carried shuffle serializes per-chromosome work. The binned
+    variant shuffles on (chrom, bin); the oracle is the direct
+    interval join, proving the bin decomposition is result-invisible
+    (operators/range_bin.py)."""
+    from radiant_portal_pipeline_spark.operators.range_bin import range_bin_join
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderkey").alias("iv_id"),
+        (F.col("o_orderkey") % 24).alias("chrom"),
+        ((F.col("o_orderkey") % 40) * 10.0).alias("lo"),
+        ((F.col("o_orderkey") % 40) * 10.0 + 60.0).alias("hi"),
+    )
+    pt = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 24).alias("chrom"),
+        F.col("value").alias("pos"),
+    )
+    joined = range_bin_join(
+        pt, iv, ["chrom"], point_col="pos", lo_col="lo", hi_col="hi", bin_width=60.0
+    )
+    return joined.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n_points"))

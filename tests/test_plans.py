@@ -216,10 +216,11 @@ def test_merge_prepare_argmax_is_all_hash(spark):
 
 def test_adaptive_plan_selection(spark, tmp_path):
     """The adaptive default resolves per batch: update-heavy batches
-    (duplicate keys to fold) take the sort-free argmax plan; insert-
-    dominant batches (~no duplicate keys) elide the write-path dedup
-    entirely (append_only — MoR read-side LWW makes it equivalent).
-    The choice lands in MergeStats and lineage."""
+    (duplicate keys to fold) take the sort-free argmax plan —
+    broadcast variant when the estimated winners set fits, shuffled
+    otherwise; insert-dominant batches (~no duplicate keys) elide the
+    write-path dedup entirely (append_only — MoR read-side LWW makes
+    it equivalent). The choice lands in MergeStats and lineage."""
     from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
 
     p = spark.sparkContext.defaultParallelism
@@ -232,7 +233,7 @@ def test_adaptive_plan_selection(spark, tmp_path):
 
     hot = synthetic_feed(spark, 30_000, hot_every=2)  # 50% to one conv
     st_hot = eng.merge_batch(hot, epoch=0)
-    assert st_hot.plan == "argmax", st_hot
+    assert st_hot.plan == "argmax_broadcast", st_hot  # small winners set
 
     uniform = synthetic_feed(spark, 30_000, n_convs=5000, hot_every=10**9)
     st_uni = eng.merge_batch(uniform, epoch=1)
@@ -242,8 +243,25 @@ def test_adaptive_plan_selection(spark, tmp_path):
         r["batch_id"]: r["plan"]
         for r in lineage.read().select("batch_id", "plan").distinct().collect()
     }
-    assert plans[0].startswith("argmax(")
+    assert plans[0].startswith("argmax_broadcast(")
     assert plans[1].startswith("append_only(")
+
+    # winners bound 0 -> the shuffled argmax (update-heavy batch whose
+    # winners set exceeds what any executor should hold)
+    eng_sh = TranscriptMergeEngine(tbl, broadcast_max_winners=0)
+    plan, reason = eng_sh._choose_plan(_slim_for_chooser(eng_sh, hot))
+    assert plan == "argmax", (plan, reason)
+
+
+def _slim_for_chooser(eng, feed):
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.merge import part_expr
+
+    return (
+        feed.withColumn(S.PART_COL, part_expr("conv_id", eng.num_buckets))
+        .withColumn(S.DELETED_COL, F.col("op") == F.lit("D"))
+        .drop("op", "commit_epoch")
+    )
 
 
 def _with_map_payload(feed):
@@ -300,3 +318,75 @@ def test_adaptive_caps_below_parallelism_stays_two_phase(spark, tmp_path):
     ).withColumn(S.PART_COL, part_expr("conv_id", buckets))
     plan, _ = eng._choose_plan(df)
     assert plan == "two_phase"
+
+
+def test_merge_prepare_argmax_broadcast_zero_fullrow_exchanges(spark):
+    """The broadcast variant's whole point: the batch's FULL rows reach
+    the layout repartition through a BroadcastHashJoin — the only
+    full-row exchange left is the (already-deduped) layout
+    repartition. The winners aggregation keeps its partial combine."""
+    feed = synthetic_feed(spark, 1000)
+    plan = plan_of(
+        TranscriptMergeEngine._prepare_batch(
+            _bare_engine("argmax_broadcast"), feed
+        )[0],
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # exactly ONE row-bearing exchange: the layout repartition (the
+    # winners aggregation's exchange + broadcast exchange carry only
+    # keys+lsn)
+    assert plan.count("Exchange hashpartitioning") == 2, plan  # winners + layout
+
+
+def test_range_bin_join_shuffles_on_key_and_bin(spark):
+    """q38's scale mechanism: with a 24-value equi key the join must
+    shuffle on (key, bin), not the bare key — otherwise entire
+    chromosomes serialize into single tasks (SURVEY §2.3 J7)."""
+    from radiant_portal_pipeline_spark.operators.range_bin import range_bin_join
+
+    pts = spark.range(2000).select(
+        (F.col("id") % 24).alias("chrom"), (F.col("id") % 400 * 1.0).alias("pos")
+    )
+    ivs = spark.range(500).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") % 24).alias("chrom"),
+        (F.col("id") % 40 * 10.0).alias("lo"),
+        (F.col("id") % 40 * 10.0 + 60.0).alias("hi"),
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = range_bin_join(pts, ivs, ["chrom"], "pos", "lo", "hi", 60.0)
+        plan = plan_of(out, mode="simple")
+        assert "hashpartitioning(chrom" in plan and "_bin" in plan, plan
+
+        # equivalence against the direct interval join on the same data
+        direct = pts.join(
+            ivs,
+            (pts.chrom == ivs.chrom) & (pts.pos >= ivs.lo) & (pts.pos <= ivs.hi),
+        ).select(pts.chrom, "pos", "iv_id", "lo", "hi")
+        got = sorted(map(tuple, out.select("chrom", "pos", "iv_id", "lo", "hi").collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_range_bin_join_guards_runaway_spans(spark):
+    import pytest
+
+    from radiant_portal_pipeline_spark.operators.range_bin import range_bin_join
+
+    pts = spark.range(10).select(
+        F.lit(1).alias("k"), (F.col("id") * 1.0).alias("pos")
+    )
+    ivs = spark.range(1).select(
+        F.lit(1).alias("k"), F.lit(0.0).alias("lo"), F.lit(1e9).alias("hi")
+    )
+    with pytest.raises(Exception, match="bins"):
+        range_bin_join(pts, ivs, ["k"], "pos", "lo", "hi", 1.0,
+                       max_bins_per_interval=100).collect()

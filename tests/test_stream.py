@@ -265,3 +265,60 @@ def test_tombstone_gc_low_watermark_from_lineage(spark, tmp_path):
     live = {r["conv_id"] for r in eng.current_state().collect()}
     assert "c2" not in live
     assert live == {"c3"}
+
+
+def test_wal_source_non_file_offsets_exactly_once(spark, tmp_path):
+    """The CDC loop over a NON-FILE source (round-3 'what's missing'
+    #5): an LSN-offset WAL tail implemented as a PySpark custom data
+    source. Proves the offset model generalizes beyond file listings:
+    >=3 micro-batches drain through run_cdc_stream, a restart with the
+    same checkpoint resumes from the persisted LSN offset (no
+    reprocessing), and the final state equals an independent DuckDB
+    oracle computed from the WAL arithmetic alone."""
+    import duckdb
+
+    from radiant_portal_pipeline_spark.cdc.wal_source import (
+        wal_oracle_sql,
+        wal_readstream,
+    )
+
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t"), num_buckets=8
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # the WAL grows 2,000 LSNs between drains; each drain resumes from
+    # the checkpointed LSN offset (a FRESH engine each time — nothing
+    # in-process survives), applies exactly the tail as one
+    # micro-batch, and never re-reads served offsets
+    applied_epochs: list[int] = []
+    for grown_to in (2_000, 4_000, 6_000):
+        eng = TranscriptMergeEngine(
+            LakeTable(spark, str(tmp_path / "t")), num_buckets=8
+        )
+        r = run_cdc_stream(
+            spark, None, eng, ckpt,
+            source_df=wal_readstream(spark, n_events=grown_to, batch_size=2_000),
+        )
+        applied = [b for b in r.batches if not b.skipped]
+        assert len(applied) == 1, [b.epoch for b in r.batches]
+        applied_epochs.append(applied[0].epoch)
+    assert len(applied_epochs) >= 3
+    assert applied_epochs == sorted(set(applied_epochs))  # monotone batch_ids
+
+    # drained: a further restart applies zero batches
+    eng = TranscriptMergeEngine(LakeTable(spark, str(tmp_path / "t")), num_buckets=8)
+    r = run_cdc_stream(
+        spark, None, eng, ckpt,
+        source_df=wal_readstream(spark, n_events=6_000, batch_size=2_000),
+    )
+    assert not [b for b in r.batches if not b.skipped]
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"], r["lsn"])
+        for r in eng.current_state().collect()
+    )
+    oracle = sorted(
+        map(tuple, duckdb.connect().execute(wal_oracle_sql(6_000)).fetchall())
+    )
+    assert got == oracle and len(got) > 0

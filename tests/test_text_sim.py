@@ -361,3 +361,48 @@ def test_iter_checkpointer_requires_base_dir():
 
     with pytest.raises(ValueError):
         IterCheckpointer(durable=True)
+
+
+def test_jpeg_codec_lossy_roundtrip_within_spec_accuracy():
+    """General (non-constant) images through the baseline JPEG encoder
+    + decoder: the reconstruction must stay within normal baseline-JPEG
+    error for smooth content (the gated m_jpeg_decode query covers the
+    value-EXACT constant-block case; this covers the AC coefficient
+    machinery — runlengths, ZRL, negative coefficients, byte
+    stuffing)."""
+    import numpy as np
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    # smooth gradient: quantization error stays small and local
+    px = (
+        (np.add.outer(np.arange(24) * 2.0, np.arange(40) * 1.5)) % 200 + 20
+    ).astype(np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg_gray(px), return_pixels=True)
+    assert (dec["width"], dec["height"]) == (40, 24)
+    err = np.abs(dec["pixels"].astype(int) - px.astype(int))
+    assert err.max() <= 24 and err.mean() < 6.0, (err.max(), err.mean())
+
+    # high-frequency content exercises ZRL / long AC runs / negatives
+    hf = ((np.indices((16, 16)).sum(0) % 2) * 180 + 30).astype(np.uint8)
+    dec2 = C.decode_jpeg(C.encode_jpeg_gray(hf), return_pixels=True)
+    assert dec2["pixels"].shape == (16, 16)
+    # checkerboard at Nyquist survives as a checkerboard (correlation,
+    # not exactness — the quantizer is coarse at high frequency)
+    rec = dec2["pixels"].astype(float)
+    pattern = (np.indices((16, 16)).sum(0) % 2).astype(float)
+    corr = np.corrcoef(rec.ravel(), pattern.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_jpeg_codec_rejects_corruption():
+    import pytest
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    good = C.synth_jpeg(7, 16, 16)
+    assert C.decode_jpeg(good)["width"] == 16
+    with pytest.raises(ValueError):
+        C.decode_jpeg(b"\x00\x01" + good[2:])  # bad SOI
+    with pytest.raises(ValueError):
+        C.decode_jpeg(good[:40])  # truncated before SOS
