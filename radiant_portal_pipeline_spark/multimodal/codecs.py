@@ -722,3 +722,89 @@ def decode_jpeg(b: bytes, return_pixels: bool = False) -> dict:
     if return_pixels:
         res["pixels"] = out
     return res
+
+
+# ------------------------------------------------------------------ MP3
+#
+# MPEG-1 Layer III frame-header walk (the container half of MP3 —
+# bitrate/samplerate tables, frame-length arithmetic, CBR duration).
+# Full audio reconstruction (hybrid filterbank/IMDCT) stays out of
+# scope: PCM feature extraction already runs on the WAV path, and the
+# reference's pods ship codec libs for lossy audio
+# (tests/docker/test_docker.py:1-11). The parser walks REAL headers and
+# would accept any CBR MPEG-1 Layer III stream.
+
+_MP3_BITRATES = [  # kbps, MPEG-1 Layer III, index 1..14
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]  # sample-rate index 0..2
+
+
+def _mp3_frame_len(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    # MPEG-1 Layer III: 1152 samples/frame -> 144 * bytes-per-sample
+    return 144 * bitrate_kbps * 1000 // sample_rate + padding
+
+
+def synth_mp3(doc_id: int, n_frames: int) -> bytes:
+    """CBR MPEG-1 Layer III stream: spec-exact frame headers (sync,
+    version/layer bits, bitrate + samplerate indices, alternating
+    padding bit), frame bodies zero-filled (header walks never read
+    audio data)."""
+    br_idx = doc_id % 14 + 1
+    sr_idx = doc_id % 3
+    out = bytearray()
+    for i in range(n_frames):
+        padding = i % 2
+        h = (
+            (0x7FF << 21)  # sync
+            | (0b11 << 19)  # MPEG-1
+            | (0b01 << 17)  # Layer III
+            | (1 << 16)  # no CRC
+            | (br_idx << 12)
+            | (sr_idx << 10)
+            | (padding << 9)
+            | (0b01 << 6)  # joint stereo
+        )
+        frame = bytearray(struct.pack(">I", h))
+        frame += bytes(_mp3_frame_len(_MP3_BITRATES[br_idx], _MP3_RATES[sr_idx], padding) - 4)
+        out += frame
+    return bytes(out)
+
+
+def parse_mp3(b: bytes) -> dict:
+    """Walk every frame header: validate sync/version/layer, read the
+    bitrate/samplerate tables, advance by the computed frame length.
+    Returns frame count, rates, and CBR duration. Raises on desync —
+    a wrong frame-length computation cannot silently succeed."""
+    pos, n_frames = 0, 0
+    bitrate = sample_rate = None
+    while pos + 4 <= len(b):
+        (h,) = struct.unpack(">I", b[pos : pos + 4])
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        if (h >> 19) & 0b11 != 0b11 or (h >> 17) & 0b11 != 0b01:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0b11
+        if not 1 <= br_idx <= 14 or sr_idx > 2:
+            raise ValueError("invalid bitrate/samplerate index")
+        br, sr = _MP3_BITRATES[br_idx], _MP3_RATES[sr_idx]
+        if bitrate is None:
+            bitrate, sample_rate = br, sr
+        elif (br, sr) != (bitrate, sample_rate):
+            raise ValueError("VBR streams not supported by this parser")
+        flen = _mp3_frame_len(br, sr, (h >> 9) & 1)
+        if pos + flen > len(b):
+            raise ValueError("truncated final frame")
+        pos += flen
+        n_frames += 1
+    if pos != len(b):
+        raise ValueError("trailing bytes after last frame (truncated header?)")
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    return {
+        "bitrate_kbps": bitrate,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1152 * 1000 // sample_rate,
+    }

@@ -235,6 +235,75 @@ def m_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_mp3_metadata",
+    oracle="""
+    SELECT doc_id,
+           'audio/mpeg' AS kind,
+           CAST(([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                [CAST(doc_id % 14 AS INTEGER) + 2] AS INTEGER) AS bitrate_kbps,
+           CAST(([44100,48000,32000])
+                [CAST(doc_id % 3 AS INTEGER) + 1] AS INTEGER) AS sample_rate,
+           CAST(doc_id % 50 + 1 AS INTEGER) AS n_frames,
+           CAST((doc_id % 50 + 1) * 1152 * 1000 //
+                ([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1]
+                AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def m_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer III frame-header walk (the container half of the
+    round-3 'JPEG/MP3' gap): per doc a spec-exact CBR stream is
+    synthesized, then parsed back frame by frame — sync validation,
+    bitrate/samplerate table decode, frame-length arithmetic with the
+    padding bit, CBR duration (multimodal/codecs.py parse_mp3) — in one
+    Arrow-batched mapInPandas pass. A wrong frame-length computation
+    desyncs and raises rather than silently passing. Full audio
+    reconstruction stays out of scope (codec libs absent; PCM DSP runs
+    on the WAV path)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("bitrate_kbps", T.IntegerType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        import sys
+
+        if PKG_PARENT not in sys.path:
+            sys.path.insert(0, PKG_PARENT)
+        from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                meta = C.parse_mp3(C.synth_mp3(d, d % 50 + 1))
+                rows.append(
+                    (d, "audio/mpeg", meta["bitrate_kbps"], meta["sample_rate"],
+                     meta["n_frames"], meta["duration_ms"])
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "bitrate_kbps", "sample_rate",
+                         "n_frames", "duration_ms"],
+            )
+            for c in ("bitrate_kbps", "sample_rate", "n_frames"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+@query(
     "m_image_resize",
     oracle="""
     WITH p AS (

@@ -68,6 +68,7 @@ GATE_ORDER = [
     # (1) new in round 4
     "q38_range_bin_join",
     "m_jpeg_decode",
+    "m_mp3_metadata",
     # (2) least-recently adjudicated (not in CORRECTNESS_r03)
     "q03_anti_join_unseen",
     "q09_partial_final_rollup",
@@ -117,13 +118,13 @@ GATE_ORDER = [
     "m_video_frame_sample",
     "m_audio_features",
     "q01_pricing_summary",
-    "q12_range_interval_join",
     "q36_jdbc_federation",
 ]
 
 # Round-4 cut (all green in CORRECTNESS_r03; rotate back next round).
 ROTATED_OUT_R4 = [
     "q02_watermark_delta_filter",
+    "q12_range_interval_join",
     "q04_semi_join_pruning",
     "q05_broadcast_dim_enrich",
     "q06_multiway_left_enrich",

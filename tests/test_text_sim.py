@@ -406,3 +406,22 @@ def test_jpeg_codec_rejects_corruption():
         C.decode_jpeg(b"\x00\x01" + good[2:])  # bad SOI
     with pytest.raises(ValueError):
         C.decode_jpeg(good[:40])  # truncated before SOS
+
+
+def test_mp3_parser_walks_frames_and_rejects_desync():
+    import pytest
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    b = C.synth_mp3(5, 7)
+    m = C.parse_mp3(b)
+    assert m["n_frames"] == 7 and m["bitrate_kbps"] == C._MP3_BITRATES[5 % 14 + 1]
+    # flip one header byte -> sync is lost mid-stream, parser must raise
+    corrupted = bytearray(b)
+    # second frame starts after frame 1's computed length
+    flen = C._mp3_frame_len(m["bitrate_kbps"], m["sample_rate"], 0)
+    corrupted[flen] = 0x00
+    with pytest.raises(ValueError):
+        C.parse_mp3(bytes(corrupted))
+    with pytest.raises(ValueError):
+        C.parse_mp3(b[: flen + 2])  # truncated frame header
