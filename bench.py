@@ -35,10 +35,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # commit) the way small bench batches do not (round-3 verdict #1).
 MERGE_EVENTS = int(os.environ.get("SPARK_GRAFT_MERGE_EVENTS", "16000000"))
 MERGE_BATCHES = int(os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "1"))
-MERGE_RUNS = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS", "3"))
+# 5 interleaved pairs: the pairwise-efficiency spread on this shared
+# VM is 0.26-0.54 within ONE quiet run (neighbor load), so the median
+# needs more samples than the r3 default of 3
+MERGE_RUNS = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS", "5"))
 # kept as a separate knob; the interleaved protocol below runs
 # max(MERGE_RUNS, MERGE_RUNS_HI) ALTERNATING (lo,hi) pairs
-MERGE_RUNS_HI = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS_HI", "3"))
+MERGE_RUNS_HI = int(os.environ.get("SPARK_GRAFT_MERGE_RUNS_HI", "5"))
 # N -> 4N parallelism pair for the scaling-efficiency evidence. (2, 8)
 # stays in this box's unsaturated regime — local[32] on shared-VM disk
 # is memory/IO-bandwidth-bound (see BENCH.md), which would measure the
@@ -131,6 +134,80 @@ def _merge_replay_seconds(
     engine.compact()
     compact_s = time.time() - t1
     return {"apply_seconds": apply_s, "compact_seconds": round(compact_s, 3)}
+
+
+def floor_probe(cpus: int, n_events: int) -> dict:
+    """Box-floor calibration (fresh JVM): two microbenchmarks bracket
+    what ANY plan can scale to on this machine. ``cpu_bound`` is
+    cache-resident iterated hashing (negligible memory traffic) — on a
+    real 4N-executor cluster every workload scales like this, because
+    nodes multiply DRAM channels and disks; on one box it is the only
+    workload the DRAM bus doesn't throttle. ``mem_stream`` is a
+    full-width parquet scan + per-row hash + scalar agg (no shuffle, no
+    write, no Python) — pure memory streaming, the regime the merge's
+    lean plans live in at high thread counts. Plans are rebuilt per
+    run (fresh literals) so JIT warm-up and plan memoization can't
+    flatter the numbers."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"floor_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    work = tempfile.mkdtemp(prefix="floor_")
+    synthetic_feed(spark, n_events, n_convs=9973, hot_every=5).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/feed")
+
+    def cpu_df(seed):
+        h = F.col("id").cast("string")
+        for _ in range(6):
+            h = F.sha2(h, 256)
+        return (
+            spark.range(seed, seed + 4_000_000, 1, 4 * cpus)
+            .select(h.alias("h"))
+            .agg(F.max("h"))
+        )
+
+    def mem_df(seed):
+        batch = spark.read.parquet(f"{work}/feed")
+        cols = [c for c, dt in batch.dtypes if not dt.startswith("timestamp")]
+        return batch.select(
+            F.xxhash64(*cols, F.lit(seed)).alias("h")
+        ).agg(F.max("h"), F.min("h"))
+
+    def hash_agg_df(seed):
+        # the winners-aggregation shape exactly: thin scan, hash-agg on
+        # a several-hundred-thousand-key space (hash tables >> cache —
+        # the random-access regime, the tightest box bracket for the
+        # merge's dedup phases)
+        batch = spark.read.parquet(f"{work}/feed")
+        return (
+            batch.select("conv_id", "turn_idx", (F.col("lsn") + seed).alias("o"))
+            .groupBy("conv_id", "turn_idx")
+            .agg(F.max("o"))
+            .agg(F.count(F.lit(1)))
+        )
+
+    out = {"cpus": cpus}
+    for label, mk in (
+        ("cpu_bound", cpu_df),
+        ("mem_stream", mem_df),
+        ("hash_agg", hash_agg_df),
+    ):
+        mk(999).collect()  # JIT warm (fresh seed -> fresh plan)
+        best = float("inf")
+        for s in (1, 2, 3):
+            t0 = time.time()
+            mk(s).collect()
+            best = min(best, time.time() - t0)
+        out[label] = round(best, 3)
+    return out
 
 
 def merge_only(
@@ -254,6 +331,7 @@ def main() -> None:
         ],
     )
     ap.add_argument("--sink", default="table", choices=["table", "noop"])
+    ap.add_argument("--floor-probe", action="store_true")
     ap.add_argument("--hot-every", type=int, default=5)
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument(
@@ -265,6 +343,10 @@ def main() -> None:
         help="time dedup_groups with local vs durable checkpointing",
     )
     args = ap.parse_args()
+
+    if args.floor_probe:
+        print(json.dumps(floor_probe(args.cpus, args.events)))
+        return
 
     if args.merge_only:
         print(
@@ -421,6 +503,62 @@ def main() -> None:
             }
         except Exception as e:
             cdc["null_sink"] = {"error": str(e)[:200]}
+
+        # box-floor calibration (fresh JVM per level): cpu_bound is the
+        # box's clean-scaling ceiling, mem_stream its DRAM-streaming
+        # floor; the merge's recorded efficiency should be read against
+        # the mem_stream bracket, because a 4N-executor cluster
+        # multiplies memory channels per node while 4N threads on this
+        # box share one bus
+        try:
+            fp = {}
+            for lv in (lo, hi):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--floor-probe", "--cpus", str(lv),
+                     "--events", str(args.events)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                if r.returncode != 0 or not r.stdout.strip():
+                    raise RuntimeError(r.stderr[-300:])
+                fp[lv] = json.loads(r.stdout.strip().splitlines()[-1])
+            cdc["box_floor"] = {
+                "levels": {str(lv): fp[lv] for lv in (lo, hi)},
+                "cpu_bound_eff": round(
+                    fp[lo]["cpu_bound"] / (fp[hi]["cpu_bound"] * ratio), 3
+                ),
+                "mem_stream_eff": round(
+                    fp[lo]["mem_stream"] / (fp[hi]["mem_stream"] * ratio), 3
+                ),
+                "hash_agg_eff": round(
+                    fp[lo]["hash_agg"] / (fp[hi]["hash_agg"] * ratio), 3
+                ),
+            }
+        except Exception as e:
+            cdc["box_floor"] = {"error": str(e)[:200]}
+
+        # WEAK scaling: events proportional to cores (the deployment
+        # question at 10^10 events is "4x the executors, 4x the feed,
+        # same wall time?"). eff_weak = t_lo(W) / t_hi(4W); ideal 1.0.
+        try:
+            wk = {}
+            for lv, ev in ((lo, args.events // int(ratio)), (hi, args.events)):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--merge-only",
+                     "--cpus", str(lv), "--events", str(ev),
+                     "--mode", args.mode, "--merge-plan", args.merge_plan,
+                     "--hot-every", str(args.hot_every)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                if r.returncode != 0 or not r.stdout.strip():
+                    raise RuntimeError(r.stderr[-300:])
+                wk[lv] = json.loads(r.stdout.strip().splitlines()[-1])
+            cdc["weak_scaling"] = {
+                "levels": {str(lv): wk[lv] for lv in (lo, hi)},
+                "efficiency": round(wk[lo]["seconds"] / wk[hi]["seconds"], 3),
+            }
+        except Exception as e:
+            cdc["weak_scaling"] = {"error": str(e)[:200]}
         lo_t = cdc["levels"][str(lo)]["events_per_sec"]
         hi_t = cdc["levels"][str(hi)]["events_per_sec"]
         # primary artifact: median of the per-pair efficiencies (each
