@@ -67,6 +67,7 @@ def query(name: str, oracle: str | None = None):
 GATE_ORDER = [
     # (1) new in round 4
     "q38_range_bin_join",
+    "q39_interval_overlap_bin",
     "m_jpeg_decode",
     "m_mp3_metadata",
     # (2) least-recently adjudicated (not in CORRECTNESS_r03)
@@ -117,12 +118,12 @@ GATE_ORDER = [
     "m_image_resize",
     "m_video_frame_sample",
     "m_audio_features",
-    "q01_pricing_summary",
     "q36_jdbc_federation",
 ]
 
 # Round-4 cut (all green in CORRECTNESS_r03; rotate back next round).
 ROTATED_OUT_R4 = [
+    "q01_pricing_summary",
     "q02_watermark_delta_filter",
     "q12_range_interval_join",
     "q04_semi_join_pruning",

@@ -286,3 +286,52 @@ def q38_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt, iv, ["chrom"], point_col="pos", lo_col="lo", hi_col="hi", bin_width=60.0
     )
     return joined.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@query(
+    "q39_interval_overlap_bin",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id % 24 AS chrom,
+             value AS a_lo, value + 50.0 AS a_hi
+      FROM events),
+    b AS (
+      SELECT o_orderkey AS iv_id, o_orderkey % 24 AS chrom,
+             (o_orderkey % 40) * 10.0 AS b_lo,
+             (o_orderkey % 40) * 10.0 + 80.0 AS b_hi
+      FROM orders)
+    SELECT b.iv_id, COUNT(*) AS n_overlaps
+    FROM a JOIN b ON a.chrom = b.chrom
+                 AND a.a_lo <= b.b_hi AND a.a_hi >= b.b_lo
+    GROUP BY b.iv_id
+    """,
+)
+def q39_interval_overlap_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7, the reference's EXACT cytoband predicate (interval x
+    interval overlap: c.chromosome = o.chromosome AND c.start <= o.end
+    AND c.end >= o.start,
+    germline_cnv_occurrence_insert_partition_delta.sql:1-21) over a
+    ~24-value key, shuffled on (chrom, bin). Each overlapping pair is
+    emitted exactly once via the canonical-bin rule (first bin of the
+    intersection) — no pair-dedup distinct. The oracle is the direct
+    overlap join (operators/range_bin.py range_bin_overlap_join)."""
+    from radiant_portal_pipeline_spark.operators.range_bin import (
+        range_bin_overlap_join,
+    )
+
+    a = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 24).alias("chrom"),
+        F.col("value").alias("a_lo"),
+        (F.col("value") + 50.0).alias("a_hi"),
+    )
+    b = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("iv_id"),
+        (F.col("o_orderkey") % 24).alias("chrom"),
+        ((F.col("o_orderkey") % 40) * 10.0).alias("b_lo"),
+        ((F.col("o_orderkey") % 40) * 10.0 + 80.0).alias("b_hi"),
+    )
+    joined = range_bin_overlap_join(
+        a, b, ["chrom"], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=60.0
+    )
+    return joined.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n_overlaps"))

@@ -390,3 +390,38 @@ def test_range_bin_join_guards_runaway_spans(spark):
     with pytest.raises(Exception, match="bins"):
         range_bin_join(pts, ivs, ["k"], "pos", "lo", "hi", 1.0,
                        max_bins_per_interval=100).collect()
+
+
+def test_range_bin_overlap_join_canonical_bin_exactly_once(spark):
+    """q39's mechanism: interval x interval overlap shuffled on
+    (key, bin); a pair sharing k bins must be emitted EXACTLY once
+    (canonical-bin rule) with no pair-dedup distinct in the plan."""
+    from radiant_portal_pipeline_spark.operators.range_bin import (
+        range_bin_overlap_join,
+    )
+
+    a = spark.range(3000).select(
+        F.col("id").alias("a_id"),
+        (F.col("id") % 24).alias("chrom"),
+        (F.col("id") % 350 * 1.0).alias("a_lo"),
+        (F.col("id") % 350 * 1.0 + 130.0).alias("a_hi"),  # spans >2 bins
+    )
+    b = spark.range(700).select(
+        F.col("id").alias("b_id"),
+        (F.col("id") % 24).alias("chrom"),
+        (F.col("id") % 40 * 10.0).alias("b_lo"),
+        (F.col("id") % 40 * 10.0 + 90.0).alias("b_hi"),
+    )
+    out = range_bin_overlap_join(
+        a, b, ["chrom"], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=60.0
+    )
+    direct = a.join(
+        b,
+        (a.chrom == b.chrom) & (a.a_lo <= b.b_hi) & (a.a_hi >= b.b_lo),
+    ).select("a_id", "b_id")
+    got = sorted(map(tuple, out.select("a_id", "b_id").collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # exactly-once, not distinct'd
+    plan = plan_of(out, mode="simple")
+    assert "Deduplicate" not in plan and "dropDuplicates" not in plan
