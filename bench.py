@@ -210,6 +210,66 @@ def floor_probe(cpus: int, n_events: int) -> dict:
     return out
 
 
+def sustained(
+    cpus: int, batch_events: int, n_batches: int, profile: str,
+    merge_plan: str = "adaptive",
+) -> dict:
+    """Sustained replay: n_batches of batch_events each, per-batch wall
+    times recorded (state growth / GC / write-amplification would show
+    as a rising trend). Profiles: 'update' (10k convs — every batch
+    overwrites the same ~500k keys) and 'insert' (1M convs — ~every
+    event a new key, write-bound)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+    from radiant_portal_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"sustained_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    n_convs = 9_973 if profile == "update" else 999_983
+    total = batch_events * n_batches
+    work = tempfile.mkdtemp(prefix="bench_sus_")
+    feed = synthetic_feed(
+        spark, total, n_convs=n_convs, hot_every=5
+    ).withColumn("slice", (F.col("lsn") * n_batches / total).cast("int"))
+    feed.write.partitionBy("slice").mode("overwrite").parquet(f"{work}/feed")
+    nb = merge_buckets(cpus)
+    warm_tbl = TranscriptMergeEngine.create_table(
+        spark, f"{work}/warm", num_buckets=nb
+    )
+    TranscriptMergeEngine(
+        warm_tbl, num_buckets=nb, merge_plan=merge_plan
+    ).merge_batch(
+        spark.read.parquet(f"{work}/feed/slice=0").limit(50_000), epoch=0
+    )
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=nb)
+    eng = TranscriptMergeEngine(tbl, num_buckets=nb, merge_plan=merge_plan)
+    per_batch, plans = [], []
+    t_all = time.time()
+    for b in range(n_batches):
+        t0 = time.time()
+        st = eng.merge_batch(spark.read.parquet(f"{work}/feed/slice={b}"), epoch=b)
+        per_batch.append(round(time.time() - t0, 2))
+        plans.append(st.plan)
+    apply_s = time.time() - t_all
+    t1 = time.time()
+    eng.compact()
+    compact_s = time.time() - t1
+    rows = eng.current_state().count()
+    return {
+        "profile": profile, "cpus": cpus, "events": total,
+        "batches": n_batches, "apply_seconds": round(apply_s, 2),
+        "events_per_sec": round(total / apply_s, 1),
+        "per_batch_seconds": per_batch, "plans": plans,
+        "compact_seconds": round(compact_s, 2), "final_rows": rows,
+    }
+
+
 def merge_only(
     cpus: int, n_events: int, mode: str, merge_plan: str = "adaptive",
     hot_every: int = 5, sink: str = "table",
@@ -332,6 +392,11 @@ def main() -> None:
     )
     ap.add_argument("--sink", default="table", choices=["table", "noop"])
     ap.add_argument("--floor-probe", action="store_true")
+    ap.add_argument(
+        "--sustained", choices=["update", "insert"],
+        help="sustained replay profile: --batches x --events per batch",
+    )
+    ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--hot-every", type=int, default=5)
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument(
@@ -346,6 +411,17 @@ def main() -> None:
 
     if args.floor_probe:
         print(json.dumps(floor_probe(args.cpus, args.events)))
+        return
+
+    if args.sustained:
+        print(
+            json.dumps(
+                sustained(
+                    args.cpus, args.events, args.batches, args.sustained,
+                    args.merge_plan,
+                )
+            )
+        )
         return
 
     if args.merge_only:
@@ -369,7 +445,10 @@ def main() -> None:
         # adaptive chooser must match-or-beat the better static plan
         table = {}
         for hot in (5, 2):  # 20% / 50% of events to one conversation
-            for plan in ("argmax", "two_phase", "single_exchange", "adaptive"):
+            for plan in (
+                "argmax", "argmax_broadcast", "two_phase",
+                "single_exchange", "adaptive",
+            ):
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--merge-only",
                      "--cpus", str(args.cpus), "--events", str(args.events),

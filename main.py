@@ -57,7 +57,8 @@ def main() -> None:
 
     for name in ("replay", "stream"):
         p = sub.add_parser(name)
-        p.add_argument("--feed", required=True)
+        p.add_argument("--feed", required=(name == "replay"),
+                       help="file-source feed dir (or use --wal-events)")
         p.add_argument("--table", required=True)
         p.add_argument("--mode", default="mor", choices=["mor", "cow"])
         p.add_argument("--buckets", type=int, default=None)  # None = table's stored value (64 for new tables)
@@ -65,6 +66,10 @@ def main() -> None:
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
             p.add_argument("--max-files-per-trigger", type=int)
+            p.add_argument("--wal-events", type=int, default=None,
+                           help="tail the LSN-offset WAL source up to "
+                                "this LSN instead of a file feed")
+            p.add_argument("--wal-batch-size", type=int, default=100_000)
 
     p = sub.add_parser("compact")
     p.add_argument("--table", required=True)
@@ -142,6 +147,18 @@ def main() -> None:
 
         lineage = LineageWriter(spark, args.lineage) if args.lineage else None
         eng = engine_for(args.table, args.mode, args.buckets)
+        source_df = None
+        if args.wal_events is not None:
+            from radiant_portal_pipeline_spark.cdc.wal_source import (
+                wal_readstream,
+            )
+
+            source_df = wal_readstream(
+                spark, n_events=args.wal_events,
+                batch_size=args.wal_batch_size,
+            )
+        elif not args.feed:
+            raise SystemExit("stream needs --feed or --wal-events")
         res = run_cdc_stream(
             spark,
             args.feed,
@@ -149,6 +166,7 @@ def main() -> None:
             args.checkpoint,
             lineage=lineage,
             max_files_per_trigger=args.max_files_per_trigger,
+            source_df=source_df,
         )
         applied = [b.epoch for b in res.batches if not b.skipped]
         print(f"stream drained; applied batches: {applied}")

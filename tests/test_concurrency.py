@@ -12,16 +12,91 @@ import pyspark.sql.types as T
 import pytest
 
 from radiant_portal_pipeline_spark.lake import LakeTable
+from radiant_portal_pipeline_spark.lake.s3_protocol import S3ConditionalPutProtocol
 from radiant_portal_pipeline_spark.lake.table import (
     ConcurrentModification,
     InMemoryCommitProtocol,
 )
 
 
+class _ClientError(Exception):
+    """botocore.ClientError shape: .response['Error']['Code']."""
+
+    def __init__(self, code):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class FakeS3Client:
+    """In-process S3 with the boto3 client surface the protocol uses:
+    conditional PUT (IfNoneMatch='*' -> 412 on existing key, checked
+    under a lock like the real service's per-key arbitration),
+    PAGINATED ListObjectsV2 (small page size so pagination is actually
+    exercised), 404-shaped misses. The protocol must translate these
+    request/response shapes — a deployment swaps in boto3.client('s3')
+    with zero protocol changes."""
+
+    def __init__(self, page_size=3):
+        import threading
+
+        self._objects = {}
+        self._mtimes = {}
+        self._lock = threading.Lock()
+        self.page_size = page_size
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        import datetime as dt
+
+        with self._lock:
+            if IfNoneMatch == "*" and (Bucket, Key) in self._objects:
+                raise _ClientError("PreconditionFailed")
+            self._objects[(Bucket, Key)] = bytes(Body)
+            self._mtimes[(Bucket, Key)] = dt.datetime.now(dt.timezone.utc)
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            if (Bucket, Key) not in self._objects:
+                raise _ClientError("NoSuchKey")
+            return {"Body": io.BytesIO(self._objects[(Bucket, Key)])}
+
+    def head_object(self, Bucket, Key):
+        with self._lock:
+            if (Bucket, Key) not in self._objects:
+                raise _ClientError("404")
+            return {"LastModified": self._mtimes[(Bucket, Key)]}
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self._objects.pop((Bucket, Key), None)
+            self._mtimes.pop((Bucket, Key), None)
+
+    def list_objects_v2(self, Bucket, Prefix, Delimiter="/",
+                        ContinuationToken=None):
+        with self._lock:
+            keys = sorted(
+                k for (b, k) in self._objects
+                if b == Bucket and k.startswith(Prefix)
+                and Delimiter not in k[len(Prefix):]
+            )
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page = keys[start:start + self.page_size]
+        out = {"Contents": [{"Key": k} for k in page]}
+        if start + self.page_size < len(keys):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = str(start + self.page_size)
+        return out
+
+
 def _proto(kind):
-    """One shared protocol instance per table (the in-memory dict IS
-    the store); None = the POSIX default."""
-    return InMemoryCommitProtocol() if kind == "memory" else None
+    """One shared protocol instance per table (the in-memory dict /
+    fake bucket IS the store); None = the POSIX default."""
+    if kind == "memory":
+        return InMemoryCommitProtocol()
+    if kind == "s3":
+        return S3ConditionalPutProtocol("test-bucket", FakeS3Client())
+    return None
 
 SCHEMA = T.StructType(
     [
@@ -32,7 +107,7 @@ SCHEMA = T.StructType(
 )
 
 
-@pytest.mark.parametrize("proto_kind", ["posix", "memory"])
+@pytest.mark.parametrize("proto_kind", ["posix", "memory", "s3"])
 def test_racing_appends_all_land(spark, tmp_path, proto_kind):
     """Same racing-writer guarantees over BOTH CommitProtocol
     implementations — the transactionality must rest on the contract
@@ -62,7 +137,7 @@ def test_racing_appends_all_land(spark, tmp_path, proto_kind):
     assert len(ks) == n_writers * rows_each
 
 
-@pytest.mark.parametrize("proto_kind", ["posix", "memory"])
+@pytest.mark.parametrize("proto_kind", ["posix", "memory", "s3"])
 def test_racing_partition_overwrites_disjoint(spark, tmp_path, proto_kind):
     """Writers replacing DISJOINT partitions rebase cleanly — neither
     clobbers the other's partition (partition-swap isolation) — over
@@ -287,3 +362,29 @@ def test_merge_engine_runs_on_inmemory_protocol(spark, tmp_path):
     assert not st.skipped
     assert eng.merge_batch(feed, epoch=0).skipped  # epoch guard holds
     assert eng.current_state().count() > 0
+
+
+def test_s3_protocol_contract_and_pagination():
+    """The contract surface through REAL boto3 request/response shapes:
+    conditional-PUT race -> FileExistsError, missing key ->
+    FileNotFoundError, LIST correct across pagination boundaries,
+    age_seconds from LastModified."""
+    proto = S3ConditionalPutProtocol("b", FakeS3Client(page_size=2))
+    proto.publish("/tbl/_manifests/v1.json", b"one")
+    with pytest.raises(FileExistsError):
+        proto.publish("/tbl/_manifests/v1.json", b"two")
+    assert proto.read("/tbl/_manifests/v1.json") == "one"
+    with pytest.raises(FileNotFoundError):
+        proto.read("/tbl/_manifests/v9.json")
+    for i in range(2, 7):
+        proto.publish(f"/tbl/_manifests/v{i}.json", b"x")
+    # 6 names over page_size=2 -> 3 pages
+    assert sorted(proto.list_names("/tbl/_manifests")) == [
+        f"v{i}.json" for i in range(1, 7)
+    ]
+    age = proto.age_seconds("/tbl/_manifests/v1.json")
+    assert age is not None and 0 <= age < 60
+    proto.delete("/tbl/_manifests/v1.json")
+    with pytest.raises(FileNotFoundError):
+        proto.delete("/tbl/_manifests/v1.json")
+    assert proto.age_seconds("/tbl/_manifests/v1.json") is None
