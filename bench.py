@@ -74,6 +74,42 @@ HEADLINE = [
 ]
 
 
+def _cached_feed_dir(
+    spark, n_events: int, n_batches: int, hot_every: int, n_convs: int = 9973
+) -> str:
+    """The synthetic feed is DETERMINISTIC in its parameters, and the
+    official protocol regenerates the identical ~GBs in every
+    subprocess (datagen is excluded from timing but dominates child
+    wall time). Cache it once per parameter tuple under /tmp; children
+    run sequentially, and the atomic directory rename makes a torn
+    generation invisible (no marker files needed)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    cache = (
+        f"/tmp/bench_feed_cache/ev{n_events}_b{n_batches}"
+        f"_hot{hot_every}_nc{n_convs}"
+    )
+    if os.path.isdir(cache):
+        return cache
+    staged = f"{cache}-staged-{uuid.uuid4().hex}"
+    feed = synthetic_feed(
+        spark, n_events, n_convs=n_convs, hot_every=hot_every
+    ).withColumn("slice", (F.col("lsn") * n_batches / n_events).cast("int"))
+    feed.write.partitionBy("slice").mode("overwrite").parquet(staged)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    try:
+        os.rename(staged, cache)
+    except OSError:  # a concurrent run won the rename — use theirs
+        shutil.rmtree(staged, ignore_errors=True)
+    return cache
+
+
 def _merge_replay_seconds(
     spark, n_events: int, mode: str, merge_plan: str = "adaptive",
     hot_every: int = 5, buckets: int | None = None, sink: str = "table",
@@ -82,7 +118,6 @@ def _merge_replay_seconds(
     MoR additionally times a final compaction + state materialization."""
     from pyspark.sql import functions as F
 
-    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
     from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
@@ -93,12 +128,9 @@ def _merge_replay_seconds(
     # charge every batch a full-feed scan (and charge plans that read
     # the batch twice, like argmax's slim winners pass, a full-feed
     # DESERIALIZE where a columnar source reads three thin columns).
-    feed = synthetic_feed(
-        spark, n_events, n_convs=9973, hot_every=hot_every
-    ).withColumn("slice", (F.col("lsn") * MERGE_BATCHES / n_events).cast("int"))
-    feed.write.partitionBy("slice").mode("overwrite").parquet(f"{work}/feed")
+    feed_dir = _cached_feed_dir(spark, n_events, MERGE_BATCHES, hot_every)
     batches = [
-        spark.read.parquet(f"{work}/feed/slice={b}") for b in range(MERGE_BATCHES)
+        spark.read.parquet(f"{feed_dir}/slice={b}") for b in range(MERGE_BATCHES)
     ]
 
     # JIT/codegen warmup on a throwaway table (excluded from timing)
@@ -152,17 +184,13 @@ def floor_probe(cpus: int, n_events: int) -> dict:
 
     from pyspark.sql import functions as F
 
-    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
     from radiant_portal_pipeline_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"floor_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
     )
-    work = tempfile.mkdtemp(prefix="floor_")
-    synthetic_feed(spark, n_events, n_convs=9973, hot_every=5).write.mode(
-        "overwrite"
-    ).parquet(f"{work}/feed")
+    scan_dir = f"{_cached_feed_dir(spark, n_events, 1, 5)}/slice=0"
 
     def cpu_df(seed):
         h = F.col("id").cast("string")
@@ -175,7 +203,7 @@ def floor_probe(cpus: int, n_events: int) -> dict:
         )
 
     def mem_df(seed):
-        batch = spark.read.parquet(f"{work}/feed")
+        batch = spark.read.parquet(scan_dir)
         cols = [c for c, dt in batch.dtypes if not dt.startswith("timestamp")]
         return batch.select(
             F.xxhash64(*cols, F.lit(seed)).alias("h")
@@ -186,7 +214,7 @@ def floor_probe(cpus: int, n_events: int) -> dict:
         # a several-hundred-thousand-key space (hash tables >> cache —
         # the random-access regime, the tightest box bracket for the
         # merge's dedup phases)
-        batch = spark.read.parquet(f"{work}/feed")
+        batch = spark.read.parquet(scan_dir)
         return (
             batch.select("conv_id", "turn_idx", (F.col("lsn") + seed).alias("o"))
             .groupBy("conv_id", "turn_idx")
@@ -234,10 +262,7 @@ def sustained(
     n_convs = 9_973 if profile == "update" else 999_983
     total = batch_events * n_batches
     work = tempfile.mkdtemp(prefix="bench_sus_")
-    feed = synthetic_feed(
-        spark, total, n_convs=n_convs, hot_every=5
-    ).withColumn("slice", (F.col("lsn") * n_batches / total).cast("int"))
-    feed.write.partitionBy("slice").mode("overwrite").parquet(f"{work}/feed")
+    feed_dir = _cached_feed_dir(spark, total, n_batches, 5, n_convs=n_convs)
     nb = merge_buckets(cpus)
     warm_tbl = TranscriptMergeEngine.create_table(
         spark, f"{work}/warm", num_buckets=nb
@@ -245,7 +270,7 @@ def sustained(
     TranscriptMergeEngine(
         warm_tbl, num_buckets=nb, merge_plan=merge_plan
     ).merge_batch(
-        spark.read.parquet(f"{work}/feed/slice=0").limit(50_000), epoch=0
+        spark.read.parquet(f"{feed_dir}/slice=0").limit(50_000), epoch=0
     )
     tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=nb)
     eng = TranscriptMergeEngine(tbl, num_buckets=nb, merge_plan=merge_plan)
@@ -253,7 +278,7 @@ def sustained(
     t_all = time.time()
     for b in range(n_batches):
         t0 = time.time()
-        st = eng.merge_batch(spark.read.parquet(f"{work}/feed/slice={b}"), epoch=b)
+        st = eng.merge_batch(spark.read.parquet(f"{feed_dir}/slice={b}"), epoch=b)
         per_batch.append(round(time.time() - t0, 2))
         plans.append(st.plan)
     apply_s = time.time() - t_all
