@@ -89,6 +89,7 @@ class TranscriptMergeEngine:
         dup_share_threshold: float = 0.03,
         chooser_rsd: float = 0.02,
         broadcast_max_winners: int = 2_000_000,
+        quarantine: "LakeTable | None" = None,
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -131,6 +132,13 @@ class TranscriptMergeEngine:
         self.dup_share_threshold = float(dup_share_threshold)
         self.chooser_rsd = float(chooser_rsd)
         self.broadcast_max_winners = int(broadcast_max_winners)
+        # dead-letter table: when set, contract-violating rows (NULL
+        # merge key / NULL lsn) are SPLIT OUT with a reason and the
+        # valid remainder merges; when None (default), the in-plan
+        # raise_error guard fails the whole batch instead. The same
+        # epoch guard covers the quarantine appends, so a replayed
+        # batch quarantines nothing twice.
+        self.quarantine = quarantine
 
     @staticmethod
     def create_table(spark, path: str, num_buckets: int = 32) -> LakeTable:
@@ -151,6 +159,49 @@ class TranscriptMergeEngine:
                 "manifest_split": True,
             },
         )
+
+    @staticmethod
+    def create_quarantine_table(spark, path: str) -> LakeTable:
+        """Dead-letter table for contract-violating change events
+        (reference analog: malformed records are logged and skipped by
+        the extraction pods rather than failing the whole import). All
+        envelope fields nullable (the violation IS a null), partitioned
+        by the violation reason so operators can scan one failure class
+        without touching the rest."""
+        import pyspark.sql.types as T
+
+        fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in S.CHANGE_EVENT_SCHEMA.fields
+        ]
+        fields += [
+            T.StructField("_reason", T.StringType(), False),
+            T.StructField("_epoch", T.LongType(), False),
+        ]
+        return LakeTable.create(
+            spark, path, T.StructType(fields), partition_col="_reason"
+        )
+
+    def _split_quarantine(self, batch: DataFrame, epoch: int) -> DataFrame:
+        """Route contract-violating rows to the dead-letter table and
+        return the valid remainder. One thin predicate over the key
+        columns decides; the quarantine append carries the batch epoch
+        under the SAME source_id, so a replayed batch is a no-op on
+        both tables (exactly-once extends to the dead letters)."""
+        reason = (
+            F.when(
+                sum(F.col(c).isNull().cast("int") for c in self.key_cols) > 0,
+                F.lit("null_merge_key"),
+            )
+            .when(F.col(self.lsn_col).isNull(), F.lit("null_lsn"))
+        )
+        bad = (
+            batch.withColumn("_reason", reason)
+            .filter(F.col("_reason").isNotNull())
+            .withColumn("_epoch", F.lit(epoch).cast("long"))
+        )
+        self.quarantine.append(bad, source_id=self.source_id, epoch=epoch)
+        return batch.filter(reason.isNull())
 
     # ------------------------------------------------------------------
 
@@ -380,6 +431,8 @@ class TranscriptMergeEngine:
         if snap.applied.get(self.source_id, -1) >= epoch:
             return MergeStats(epoch=epoch, skipped=True)
 
+        if self.quarantine is not None:
+            batch = self._split_quarantine(batch, epoch)
         prepared, plan, plan_reason = self._prepare_batch(batch)
         lineage_checkpointed = self.lineage is not None
         if lineage_checkpointed:

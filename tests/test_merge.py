@@ -642,3 +642,46 @@ def test_chooser_knobs_disable_elision(spark, tmp_path):
     batch = _keyed_batch(spark, {(f"c{i}", 0): 1 for i in range(1000)}, 0)
     stats = eng.merge_batch(batch, epoch=0)
     assert stats.plan != "append_only"
+
+
+def test_quarantine_dead_letters_instead_of_failing(spark, tmp_path):
+    """With a quarantine table configured, contract-violating rows
+    (NULL merge key / NULL lsn) are split out with a reason and the
+    valid remainder merges; without one, the batch fails (the round-3
+    in-plan guard). Exactly-once extends to the dead letters: replaying
+    the batch quarantines nothing twice."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    q = TranscriptMergeEngine.create_quarantine_table(spark, str(tmp_path / "q"))
+    eng = TranscriptMergeEngine(tbl, num_buckets=4, quarantine=q)
+    batch = _batch(
+        spark,
+        [
+            _ev("c1", 0, "U", 1, "good"),
+            _ev("c2", 0, "U", 2, "bad-key"),
+            _ev("c3", 0, "U", 3, "bad-lsn"),
+            _ev("c4", 0, "U", 4, "also-good"),
+        ],
+    ).withColumn(
+        "conv_id", F.when(F.col("text") != "bad-key", F.col("conv_id"))
+    ).withColumn(
+        "lsn", F.when(F.col("text") != "bad-lsn", F.col("lsn")).cast("bigint")
+    )
+    st = eng.merge_batch(batch, epoch=0)
+    assert not st.skipped
+    state = {r["conv_id"]: r["text"] for r in eng.current_state().collect()}
+    assert state == {"c1": "good", "c4": "also-good"}
+    dead = {(r["_reason"], r["text"]) for r in q.read().collect()}
+    assert dead == {("null_merge_key", "bad-key"), ("null_lsn", "bad-lsn")}
+
+    # replay: both tables untouched (no duplicate dead letters)
+    st2 = eng.merge_batch(batch, epoch=0)
+    assert st2.skipped
+    assert q.read().count() == 2
+
+    # without a quarantine table the same batch fails loudly
+    tbl2 = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t2"), num_buckets=4
+    )
+    eng2 = TranscriptMergeEngine(tbl2, num_buckets=4)
+    with pytest.raises(Exception, match="NULL"):
+        eng2.merge_batch(batch, epoch=0)
