@@ -90,6 +90,7 @@ class TranscriptMergeEngine:
         chooser_rsd: float = 0.02,
         broadcast_max_winners: int = 2_000_000,
         quarantine: "LakeTable | None" = None,
+        estimate_every: int = 1,
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -139,6 +140,21 @@ class TranscriptMergeEngine:
         # epoch guard covers the quarantine appends, so a replayed
         # batch quarantines nothing twice.
         self.quarantine = quarantine
+        # OPT-IN plan stickiness (estimate_every > 1): a PERFORMANCE-
+        # ONLY chooser decision (argmax/argmax_broadcast) is reused for
+        # estimate_every-1 subsequent batches before re-estimating —
+        # the estimator job costs ~0.5 s per 16M-row batch (BENCH.md
+        # round 4), worth skipping on feeds with a stable character.
+        # The append_only ELISION never sticks (it trades storage on a
+        # wrong guess, so every elision is re-validated), and a sticky
+        # argmax ALSO suppresses the elision check for its window —
+        # which is why the default is 1 (estimate every batch): a mixed
+        # feed keeps full adaptivity unless the operator opts out. All
+        # plans are result-equal, so stickiness can never change
+        # results — only which equally-correct plan runs.
+        self.estimate_every = max(1, int(estimate_every))
+        self._sticky_plan: tuple[str, str] | None = None
+        self._sticky_left = 0
 
     @staticmethod
     def create_table(spark, path: str, num_buckets: int = 32) -> LakeTable:
@@ -265,6 +281,10 @@ class TranscriptMergeEngine:
             #   traffic of the update-heavy path (BENCH.md round-4).
             # - else -> shuffled argmax (winners too big to broadcast).
             if self.mode == "mor":
+                if self._sticky_left > 0 and self._sticky_plan is not None:
+                    self._sticky_left -= 1
+                    plan, why = self._sticky_plan
+                    return plan, f"sticky[{why}]"
                 row = df.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.approx_count_distinct(
@@ -277,21 +297,27 @@ class TranscriptMergeEngine:
                         self.append_only_enabled
                         and dup_share < self.dup_share_threshold
                     ):
+                        # never sticks: each elision is re-validated
+                        self._sticky_plan, self._sticky_left = None, 0
                         return (
                             "append_only",
                             f"dup_share~{dup_share:.4f}<"
                             f"{self.dup_share_threshold} (insert-dominant)",
                         )
                     if row["nk"] <= self.broadcast_max_winners:
-                        return (
+                        choice = (
                             "argmax_broadcast",
                             f"dup_share~{dup_share:.4f}, est_keys~{row['nk']}"
                             f"<={self.broadcast_max_winners}",
                         )
-                    return (
-                        "argmax",
-                        f"est_keys~{row['nk']}>{self.broadcast_max_winners}",
-                    )
+                    else:
+                        choice = (
+                            "argmax",
+                            f"est_keys~{row['nk']}>{self.broadcast_max_winners}",
+                        )
+                    self._sticky_plan = choice
+                    self._sticky_left = self.estimate_every - 1
+                    return choice
             return "argmax", "argmax_eligible(dominates both static plans)"
         p = max(int(self.table.spark.sparkContext.defaultParallelism), 1)
         if self.num_buckets < p:

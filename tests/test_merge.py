@@ -685,3 +685,37 @@ def test_quarantine_dead_letters_instead_of_failing(spark, tmp_path):
     eng2 = TranscriptMergeEngine(tbl2, num_buckets=4)
     with pytest.raises(Exception, match="NULL"):
         eng2.merge_batch(batch, epoch=0)
+
+
+def test_plan_stickiness_opt_in(spark, tmp_path):
+    """estimate_every=N reuses a performance-only plan decision for
+    N-1 batches (skipping the estimator job); append_only never sticks,
+    and the default (1) estimates every batch."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(tbl, num_buckets=4, estimate_every=3)
+    dup = {(f"k{i}", 0): 5 for i in range(200)}  # update-heavy
+    lsn = 0
+    reasons = []
+    for e in range(4):
+        batch = _keyed_batch(spark, dup, lsn)
+        lsn += 10_000
+        st = eng.merge_batch(batch, epoch=e)
+        assert st.plan == "argmax_broadcast"
+        reasons.append(st.plan)
+    # lineage-free check: the sticky window resets after N batches —
+    # probe the internal counter contract directly
+    assert eng.estimate_every == 3 and eng._sticky_plan is not None
+
+    # append_only never sticks: consecutive insert batches re-estimate
+    # and keep eliding
+    tbl3 = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t3"), num_buckets=4
+    )
+    eng3 = TranscriptMergeEngine(tbl3, num_buckets=4, estimate_every=2)
+    ins = _keyed_batch(spark, {(f"i{i}", 0): 1 for i in range(1000)}, 0)
+    st = eng3.merge_batch(ins, epoch=0)
+    assert st.plan == "append_only"
+    st = eng3.merge_batch(
+        _keyed_batch(spark, {(f"j{i}", 0): 1 for i in range(1000)}, 50_000), epoch=1
+    )
+    assert st.plan == "append_only"  # re-validated, not stuck elsewhere
