@@ -83,17 +83,24 @@ def _cached_feed_dir(
     wall time). Cache it once per parameter tuple under /tmp; children
     run sequentially, and the atomic directory rename makes a torn
     generation invisible (no marker files needed)."""
+    import hashlib
     import os
     import shutil
     import uuid
 
     from pyspark.sql import functions as F
 
+    from radiant_portal_pipeline_spark.cdc import feed as feed_mod
     from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
 
+    # salt the key with the generator SOURCE: a logic change in
+    # synthetic_feed must invalidate the cache, or later rounds would
+    # silently bench stale feeds (round-4 advisor)
+    with open(feed_mod.__file__, "rb") as fh:
+        feed_src = hashlib.sha256(fh.read()).hexdigest()[:12]
     cache = (
         f"/tmp/bench_feed_cache/ev{n_events}_b{n_batches}"
-        f"_hot{hot_every}_nc{n_convs}"
+        f"_hot{hot_every}_nc{n_convs}_{feed_src}"
     )
     if os.path.isdir(cache):
         return cache
@@ -402,6 +409,54 @@ def durability_compare(sf_dir: str, cpus: int) -> dict:
     return out
 
 
+def _compact_cdc(cdc: dict) -> dict:
+    """The headline slice of the merge evidence: default-plan absolute
+    throughput at both levels, the pairwise-median efficiency, and
+    one-number summaries of the weak-scaling / box-floor / null-sink /
+    alt-plan evidence. Full records live in the detail file."""
+
+    def lvl(rec: dict) -> dict:
+        return {
+            k: rec[k]
+            for k in ("seconds", "events_per_sec", "compact_seconds", "buckets")
+            if k in rec
+        }
+
+    out = {
+        "events": cdc.get("events"),
+        "protocol": cdc.get("protocol"),
+        "levels": {k: lvl(v) for k, v in cdc.get("levels", {}).items()},
+        "scaling_efficiency": cdc.get("scaling_efficiency"),
+        "scaling_efficiency_best_of": cdc.get("scaling_efficiency_best_of"),
+        "pairwise_efficiencies": cdc.get("pairwise_efficiencies"),
+    }
+    wk = cdc.get("weak_scaling", {})
+    out["weak_scaling_eff"] = wk.get("efficiency", wk.get("error"))
+    bf = cdc.get("box_floor", {})
+    out["box_floor"] = (
+        {k: bf[k] for k in ("cpu_bound_eff", "mem_stream_eff", "hash_agg_eff")
+         if k in bf}
+        or bf.get("error")
+    )
+    ns = cdc.get("null_sink", {})
+    out["null_sink"] = {
+        "scaling_efficiency": ns.get("scaling_efficiency", ns.get("error")),
+        "hi_events_per_sec": max(
+            (r.get("events_per_sec", 0) for r in ns.get("levels", {}).values()),
+            default=None,
+        ),
+    }
+    ap = cdc.get("alt_plan", {})
+    out["alt_plan"] = {
+        "plan": ap.get("plan"),
+        "scaling_efficiency": ap.get("scaling_efficiency", ap.get("error")),
+        "levels_events_per_sec": {
+            k: v.get("events_per_sec") for k, v in ap.get("levels", {}).items()
+        },
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--merge-only", action="store_true")
@@ -682,19 +737,34 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     sf = float(SF_DIR.rstrip("/").split("sf")[-1])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "ivf": ivf,
-                "cdc_merge": cdc,
-            }
-        )
+    full = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "ivf": ivf,
+        "cdc_merge": cdc,
+    }
+    # FULL detail goes to a file; stdout gets a SIZE-BOUNDED headline
+    # line. Round 4's official artifact recorded parsed:null because
+    # the single JSON line outgrew the driver's tail capture once the
+    # box_floor/null_sink/weak_scaling evidence was added — the
+    # headline line must stay a few KB no matter how much detail the
+    # protocol accumulates.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as e:
+        detail_path = f"unwritable({e})"
+    print(json.dumps({**{k: v for k, v in full.items() if k != "cdc_merge"},
+                      "cdc_merge": _compact_cdc(cdc),
+                      "detail_file": os.path.basename(str(detail_path))}))
 
 
 if __name__ == "__main__":

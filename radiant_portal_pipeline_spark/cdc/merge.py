@@ -155,6 +155,7 @@ class TranscriptMergeEngine:
         self.estimate_every = max(1, int(estimate_every))
         self._sticky_plan: tuple[str, str] | None = None
         self._sticky_left = 0
+        self._sticky_n = 0  # batch rows the sticky estimate came from
 
     @staticmethod
     def create_table(spark, path: str, num_buckets: int = 32) -> LakeTable:
@@ -216,7 +217,13 @@ class TranscriptMergeEngine:
             .filter(F.col("_reason").isNotNull())
             .withColumn("_epoch", F.lit(epoch).cast("long"))
         )
-        self.quarantine.append(bad, source_id=self.source_id, epoch=epoch)
+        # probe before appending: a clean feed must NOT pay one
+        # quarantine snapshot (manifest/version churn + applied-map
+        # bump) per batch. Exactly-once is unaffected — re-splitting a
+        # replayed batch regenerates the same (possibly empty) rows,
+        # and non-empty appends still carry the epoch guard.
+        if bad.limit(1).count() > 0:
+            self.quarantine.append(bad, source_id=self.source_id, epoch=epoch)
         return batch.filter(reason.isNull())
 
     # ------------------------------------------------------------------
@@ -282,9 +289,22 @@ class TranscriptMergeEngine:
             # - else -> shuffled argmax (winners too big to broadcast).
             if self.mode == "mor":
                 if self._sticky_left > 0 and self._sticky_plan is not None:
-                    self._sticky_left -= 1
-                    plan, why = self._sticky_plan
-                    return plan, f"sticky[{why}]"
+                    # GUARD the replayed decision with the cheap half of
+                    # the estimator (count only, no HLL): a sticky
+                    # argmax_broadcast decision taken on a small batch
+                    # would otherwise broadcast an unbounded winners set
+                    # when the feed's volume jumps mid-window (round-4
+                    # advisor) — OOM risk, not a correctness risk. A
+                    # materially different batch size (>2x either way)
+                    # invalidates the stickiness and falls through to
+                    # the full estimate.
+                    n_now = df.count()
+                    lo_ok = self._sticky_n / 2 <= n_now <= self._sticky_n * 2
+                    if lo_ok:
+                        self._sticky_left -= 1
+                        plan, why = self._sticky_plan
+                        return plan, f"sticky[{why}]"
+                    self._sticky_plan, self._sticky_left = None, 0
                 row = df.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.approx_count_distinct(
@@ -317,6 +337,7 @@ class TranscriptMergeEngine:
                         )
                     self._sticky_plan = choice
                     self._sticky_left = self.estimate_every - 1
+                    self._sticky_n = int(row["n"])
                     return choice
             return "argmax", "argmax_eligible(dominates both static plans)"
         p = max(int(self.table.spark.sparkContext.defaultParallelism), 1)

@@ -63,17 +63,39 @@ class S3ConditionalPutProtocol(CommitProtocol):
         return target.lstrip("/")
 
     def publish(self, target: str, data: bytes) -> None:
+        payload = bytes(data)
         try:
             self.client.put_object(
                 Bucket=self.bucket,
                 Key=self._key(target),
-                Body=bytes(data),
+                Body=payload,
                 IfNoneMatch="*",
             )
         except Exception as e:  # noqa: BLE001 — translate, never leak
-            if _error_code(e) in ("PreconditionFailed", "412"):
-                raise FileExistsError(target) from e
-            raise
+            if _error_code(e) not in ("PreconditionFailed", "412"):
+                raise
+            # A 412 is AMBIGUOUS under SDK retries: boto3's default
+            # retry of a timed-out-but-landed conditional PUT gets 412
+            # for the writer's OWN committed object. Translating that
+            # to FileExistsError would make the commit loop rebase on a
+            # snapshot that already contains its own commit and
+            # re-apply the mutation (duplicate data files on non-epoch
+            # commits). Disambiguate by content: byte-identical object
+            # == our PUT landed (or an identical commit won, which is
+            # equally a success); anything else is a genuine race.
+            try:
+                existing = self.client.get_object(
+                    Bucket=self.bucket, Key=self._key(target)
+                )
+                body = existing["Body"]
+                got = body.read() if hasattr(body, "read") else body
+                if isinstance(got, str):
+                    got = got.encode()
+                if got == payload:
+                    return  # own (retried) PUT landed — commit succeeded
+            except Exception:  # noqa: BLE001 — vanished again: real race
+                pass
+            raise FileExistsError(target) from e
 
     def read(self, target: str) -> str:
         try:
@@ -109,15 +131,36 @@ class S3ConditionalPutProtocol(CommitProtocol):
 
     def delete(self, target: str) -> None:
         key = self._key(target)
-        # S3 DELETE is idempotent; the contract distinguishes
-        # missing names, so probe first (GC paths only — never raced)
+        # S3 DELETE is idempotent; the contract distinguishes missing
+        # names, so probe first. The HEAD also yields the ETag for a
+        # CONDITIONAL delete (If-Match, GA since Nov 2024), which
+        # closes the head-then-delete TOCTOU: if another actor removed
+        # or replaced the object between the two calls, the delete
+        # fails 412/404 instead of silently deleting the replacement.
         try:
-            self.client.head_object(Bucket=self.bucket, Key=key)
+            resp = self.client.head_object(Bucket=self.bucket, Key=key)
         except Exception as e:  # noqa: BLE001
             if _error_code(e) in ("NoSuchKey", "404"):
                 raise FileNotFoundError(target) from e
             raise
-        self.client.delete_object(Bucket=self.bucket, Key=key)
+        etag = (resp or {}).get("ETag")
+        try:
+            if etag:
+                self.client.delete_object(
+                    Bucket=self.bucket, Key=key, IfMatch=etag
+                )
+            else:
+                self.client.delete_object(Bucket=self.bucket, Key=key)
+        except TypeError:
+            # injected client predates conditional deletes — fall back
+            # to the unconditional (documented GC-only) path
+            self.client.delete_object(Bucket=self.bucket, Key=key)
+        except Exception as e:  # noqa: BLE001
+            if _error_code(e) in ("PreconditionFailed", "412", "NoSuchKey", "404"):
+                # raced: the object we probed is gone/replaced — the
+                # name no longer holds what the caller asked to delete
+                raise FileNotFoundError(target) from e
+            raise
 
     def age_seconds(self, target: str) -> float | None:
         try:

@@ -732,7 +732,8 @@ def decode_jpeg(b: bytes, return_pixels: bool = False) -> dict:
 # scope: PCM feature extraction already runs on the WAV path, and the
 # reference's pods ship codec libs for lossy audio
 # (tests/docker/test_docker.py:1-11). The parser walks REAL headers and
-# would accept any CBR MPEG-1 Layer III stream.
+# accepts any CBR MPEG-1 Layer III stream, including the ID3v2/ID3v1
+# metadata tags nearly all real files carry (stripped before the walk).
 
 _MP3_BITRATES = [  # kbps, MPEG-1 Layer III, index 1..14
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
@@ -771,11 +772,34 @@ def synth_mp3(doc_id: int, n_frames: int) -> bytes:
     return bytes(out)
 
 
+def _strip_id3(b: bytes) -> bytes:
+    """Remove the metadata wrappers nearly every real MP3 carries:
+    a leading ID3v2 container ('ID3' + version/flags + 4-byte
+    SYNCHSAFE size, i.e. 7 bits per byte; footer flag 0x10 adds 10
+    more trailer bytes) and a trailing 128-byte ID3v1 'TAG' block.
+    Neither holds audio frames, so the walker must not see them."""
+    if len(b) >= 10 and b[:3] == b"ID3":
+        if any(x & 0x80 for x in b[6:10]):
+            raise ValueError("corrupt ID3v2 size (non-synchsafe byte)")
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        total = 10 + size + (10 if b[5] & 0x10 else 0)
+        if total > len(b):
+            raise ValueError("truncated ID3v2 tag")
+        b = b[total:]
+    if len(b) >= 128 and b[-128:-125] == b"TAG":
+        b = b[:-128]
+    return b
+
+
 def parse_mp3(b: bytes) -> dict:
     """Walk every frame header: validate sync/version/layer, read the
     bitrate/samplerate tables, advance by the computed frame length.
     Returns frame count, rates, and CBR duration. Raises on desync —
-    a wrong frame-length computation cannot silently succeed."""
+    a wrong frame-length computation cannot silently succeed. ID3v2
+    (leading) and ID3v1 (trailing) metadata tags are skipped first, so
+    real tagged files parse; anything else around the frames still
+    raises."""
+    b = _strip_id3(b)
     pos, n_frames = 0, 0
     bitrate = sample_rate = None
     while pos + 4 <= len(b):

@@ -61,14 +61,28 @@ class FakeS3Client:
                 raise _ClientError("NoSuchKey")
             return {"Body": io.BytesIO(self._objects[(Bucket, Key)])}
 
+    @staticmethod
+    def _etag(body: bytes) -> str:
+        import hashlib
+
+        return f'"{hashlib.md5(body).hexdigest()}"'
+
     def head_object(self, Bucket, Key):
         with self._lock:
             if (Bucket, Key) not in self._objects:
                 raise _ClientError("404")
-            return {"LastModified": self._mtimes[(Bucket, Key)]}
+            return {
+                "LastModified": self._mtimes[(Bucket, Key)],
+                "ETag": self._etag(self._objects[(Bucket, Key)]),
+            }
 
-    def delete_object(self, Bucket, Key):
+    def delete_object(self, Bucket, Key, IfMatch=None):
         with self._lock:
+            if IfMatch is not None:
+                if (Bucket, Key) not in self._objects:
+                    raise _ClientError("404")
+                if self._etag(self._objects[(Bucket, Key)]) != IfMatch:
+                    raise _ClientError("PreconditionFailed")
             self._objects.pop((Bucket, Key), None)
             self._mtimes.pop((Bucket, Key), None)
 
@@ -388,3 +402,62 @@ def test_s3_protocol_contract_and_pagination():
     with pytest.raises(FileNotFoundError):
         proto.delete("/tbl/_manifests/v1.json")
     assert proto.age_seconds("/tbl/_manifests/v1.json") is None
+
+
+def test_s3_publish_own_retried_put_is_success():
+    """The SDK-retry ambiguity (round-4 advisor, medium): boto3's
+    default retry of a timed-out-but-landed conditional PUT sees 412
+    for the writer's OWN object. publish() must treat a byte-identical
+    existing object as success (the commit IS in effect), and only a
+    DIFFERENT body as the genuine lost race."""
+    proto = S3ConditionalPutProtocol("b", FakeS3Client())
+    proto.publish("/t/_m/v1.json", b"commit-A")
+    # the retried duplicate of our own PUT: same bytes -> success
+    proto.publish("/t/_m/v1.json", b"commit-A")
+    # a real race: different bytes -> FileExistsError
+    with pytest.raises(FileExistsError):
+        proto.publish("/t/_m/v1.json", b"commit-B")
+
+
+def test_s3_conditional_delete_closes_toctou():
+    """delete() is HEAD-then-DELETE; with If-Match the DELETE fails
+    412 when another actor replaced the object in between, instead of
+    silently deleting the replacement."""
+
+    class RacingClient(FakeS3Client):
+        """Replaces the object between the protocol's HEAD and its
+        DELETE — the raced-delete shape."""
+
+        def __init__(self):
+            super().__init__()
+            self.race_key = None
+
+        def delete_object(self, Bucket, Key, IfMatch=None):
+            if (Bucket, Key) == self.race_key:
+                self.race_key = None  # fire once
+                self._objects[(Bucket, Key)] = b"replacement"
+            return super().delete_object(Bucket, Key, IfMatch=IfMatch)
+
+    client = RacingClient()
+    proto = S3ConditionalPutProtocol("b", client)
+    proto.publish("/t/_m/v1.json", b"victim")
+    client.race_key = ("b", "t/_m/v1.json")
+    with pytest.raises(FileNotFoundError):
+        proto.delete("/t/_m/v1.json")
+    # the replacement survived the raced delete
+    assert proto.read("/t/_m/v1.json") == "replacement"
+
+
+def test_s3_delete_falls_back_without_ifmatch_support():
+    """An injected client predating conditional deletes (TypeError on
+    the IfMatch kwarg) still gets the documented GC-only path."""
+
+    class LegacyClient(FakeS3Client):
+        def delete_object(self, Bucket, Key):  # no IfMatch kwarg
+            return super().delete_object(Bucket, Key)
+
+    proto = S3ConditionalPutProtocol("b", LegacyClient())
+    proto.publish("/t/_m/v1.json", b"x")
+    proto.delete("/t/_m/v1.json")
+    with pytest.raises(FileNotFoundError):
+        proto.read("/t/_m/v1.json")

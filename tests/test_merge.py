@@ -719,3 +719,28 @@ def test_plan_stickiness_opt_in(spark, tmp_path):
         _keyed_batch(spark, {(f"j{i}", 0): 1 for i in range(1000)}, 50_000), epoch=1
     )
     assert st.plan == "append_only"  # re-validated, not stuck elsewhere
+
+
+def test_sticky_plan_invalidated_by_batch_size_jump(spark, tmp_path):
+    """The sticky guard (round-4 advisor): a reused argmax_broadcast
+    decision must be re-estimated when the batch volume jumps
+    materially (>2x), else a mid-window cardinality jump broadcasts an
+    unbounded winners set. The guard runs only the cheap count, and a
+    similar-sized batch still rides the sticky window."""
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    eng = TranscriptMergeEngine(
+        tbl, num_buckets=4, estimate_every=5, broadcast_max_winners=500
+    )
+    dup = {(f"k{i}", 0): 5 for i in range(200)}  # 1000 rows, 200 keys
+    st = eng.merge_batch(_keyed_batch(spark, dup, 0), epoch=0)
+    assert st.plan == "argmax_broadcast" and eng._sticky_plan is not None
+    # similar size -> sticky window holds (no re-estimate)
+    st = eng.merge_batch(_keyed_batch(spark, dup, 10_000), epoch=1)
+    assert st.plan == "argmax_broadcast"
+    assert eng._sticky_left == 3  # consumed one sticky slot
+    # 10x the rows AND 10x the keys: over broadcast_max_winners. The
+    # guard must invalidate stickiness and the fresh estimate must
+    # choose the shuffled argmax, NOT replay the broadcast decision.
+    big = {(f"b{i}", 0): 5 for i in range(2000)}  # 10k rows, 2000 keys
+    st = eng.merge_batch(_keyed_batch(spark, big, 20_000), epoch=2)
+    assert st.plan == "argmax"

@@ -425,3 +425,37 @@ def test_mp3_parser_walks_frames_and_rejects_desync():
         C.parse_mp3(bytes(corrupted))
     with pytest.raises(ValueError):
         C.parse_mp3(b[: flen + 2])  # truncated frame header
+
+
+def test_mp3_parser_skips_id3_tags():
+    """Nearly all real MP3s carry ID3v2 (leading) and/or ID3v1
+    (trailing) metadata; the walker must skip both (round-4 advisor)
+    and still reject genuinely foreign leading/trailing bytes."""
+    import pytest
+
+    from radiant_portal_pipeline_spark.multimodal import codecs as C
+
+    frames = C.synth_mp3(3, 5)
+    plain = C.parse_mp3(frames)
+
+    # ID3v2: 'ID3' + ver(2) + flags + 4-byte SYNCHSAFE size, then body
+    body = b"TALB\x00\x00\x00\x05\x00\x00\x00albumTIT2\x00\x00\x00\x03\x00\x00abc"
+    size = len(body)
+    synchsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    id3v2 = b"ID3\x04\x00\x00" + synchsafe + body
+    # ID3v1: trailing 128-byte 'TAG' block
+    id3v1 = (b"TAG" + b"title".ljust(30, b"\x00") + b"artist".ljust(30, b"\x00")
+             + b"\x00" * 65)
+    assert len(id3v1) == 128
+
+    tagged = C.parse_mp3(id3v2 + frames + id3v1)
+    assert tagged == plain  # tags are transparent to the frame walk
+
+    with pytest.raises(ValueError, match="truncated ID3v2"):
+        C.parse_mp3(id3v2[:12])  # tag header claims more than the buffer
+    with pytest.raises(ValueError, match="lost frame sync"):
+        C.parse_mp3(b"\x00\x00" + frames)  # non-ID3 leading bytes still raise
+    with pytest.raises(ValueError, match="trailing bytes"):
+        C.parse_mp3(frames + b"\x00" * 7)  # non-ID3v1 trailer still raises
