@@ -457,5 +457,7 @@ def test_mp3_parser_skips_id3_tags():
         C.parse_mp3(id3v2[:12])  # tag header claims more than the buffer
     with pytest.raises(ValueError, match="lost frame sync"):
         C.parse_mp3(b"\x00\x00" + frames)  # non-ID3 leading bytes still raise
+    with pytest.raises(ValueError, match="lost frame sync"):
+        C.parse_mp3(frames + b"\x00" * 7)  # non-ID3v1 trailer: desync
     with pytest.raises(ValueError, match="trailing bytes"):
-        C.parse_mp3(frames + b"\x00" * 7)  # non-ID3v1 trailer still raises
+        C.parse_mp3(frames + b"\x00" * 3)  # sub-header trailer still raises
