@@ -380,3 +380,101 @@ def cdc_tombstone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("n_tombstones"),
         )
     )
+
+
+_QUARANTINE_ORACLE = f"""
+    WITH feed AS ({feed_sql('duckdb')}),
+    contaminated AS (
+      SELECT CASE WHEN lsn % 97 = 0 THEN NULL ELSE conv_id END AS conv_id,
+             turn_idx, role, text, tool, ts, op, commit_epoch,
+             CASE WHEN lsn % 97 = 13 THEN NULL ELSE lsn END AS lsn
+      FROM feed),
+    bad AS (
+      SELECT CASE WHEN conv_id IS NULL THEN 'null_merge_key'
+                  ELSE 'null_lsn' END AS reason, commit_epoch
+      FROM contaminated WHERE conv_id IS NULL OR lsn IS NULL),
+    clean AS (
+      SELECT * FROM contaminated
+      WHERE conv_id IS NOT NULL AND lsn IS NOT NULL),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+      FROM clean),
+    state AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT 'quarantine_null_merge_key' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value
+      FROM bad WHERE reason = 'null_merge_key'
+    UNION ALL SELECT 'quarantine_null_lsn', CAST(COUNT(*) AS BIGINT)
+      FROM bad WHERE reason = 'null_lsn'
+    UNION ALL SELECT 'quarantine_epochs_with_bad',
+           CAST(COUNT(DISTINCT commit_epoch) AS BIGINT) FROM bad
+    UNION ALL SELECT 'state_rows', CAST(COUNT(*) AS BIGINT) FROM state
+    UNION ALL SELECT 'state_distinct_convs',
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) FROM state
+    UNION ALL SELECT 'state_lsn_sum', CAST(SUM(lsn) AS BIGINT) FROM state
+    UNION ALL SELECT 'state_text_chars',
+           CAST(SUM(LENGTH(text)) AS BIGINT) FROM state
+"""
+
+
+@query("cdc_quarantine_dead_letter", oracle=_QUARANTINE_ORACLE)
+def cdc_quarantine_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 dead-letter path, externally adjudicated (round-4 verdict
+    'what's missing' #2): the feed is deterministically contaminated
+    (every lsn%97==0 event loses its merge key, every lsn%97==13 event
+    its lsn), replayed through the streaming path with a quarantine
+    table attached, and epoch 0 is then RE-APPLIED verbatim (the crash
+    -replay shape). The digest the oracle recomputes covers both
+    sides of the split: per-reason quarantine counts + how many epochs
+    carried bad rows (a replayed epoch quarantining twice would break
+    the epoch count and double the reason counts) AND the merged final
+    state built from only the clean remainder (rows, distinct convs,
+    lsn sum, text mass). Reference analog: malformed records are
+    logged and skipped by the extraction pods rather than failing the
+    import (SURVEY.md P4)."""
+    work = tempfile.mkdtemp(prefix="cdc_dl_")
+    feed = feed_from_events(spark, sf_dir)
+    contaminated = feed.withColumn(
+        "conv_id",
+        F.when(F.col("lsn") % 97 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    ).withColumn(
+        "lsn",
+        F.when(F.col("lsn") % 97 == 13, F.lit(None).cast("long")).otherwise(
+            F.col("lsn")
+        ),
+    )
+    write_feed_partitions(contaminated, f"{work}/feed")
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    qt = TranscriptMergeEngine.create_quarantine_table(spark, f"{work}/q")
+    engine = TranscriptMergeEngine(tbl, quarantine=qt)
+    run_cdc_stream(
+        spark, f"{work}/feed", engine, f"{work}/ckpt", max_files_per_trigger=1
+    )
+    # replay epoch 0 verbatim: the applied-epoch guard must leave BOTH
+    # tables untouched (double-quarantine would show in every count)
+    engine.merge_batch(
+        contaminated.filter(F.col("commit_epoch") == 0), epoch=0
+    )
+    bad = qt.read()
+    state = engine.current_state()
+
+    def one(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"),
+                         F.col("v").cast("long").alias("value"))
+
+    return (
+        one("quarantine_null_merge_key",
+            bad.filter(F.col("_reason") == "null_merge_key")
+            .agg(F.count(F.lit(1)).alias("v")))
+        .unionAll(one("quarantine_null_lsn",
+                      bad.filter(F.col("_reason") == "null_lsn")
+                      .agg(F.count(F.lit(1)).alias("v"))))
+        .unionAll(one("quarantine_epochs_with_bad",
+                      bad.agg(F.countDistinct("commit_epoch").alias("v"))))
+        .unionAll(one("state_rows", state.agg(F.count(F.lit(1)).alias("v"))))
+        .unionAll(one("state_distinct_convs",
+                      state.agg(F.countDistinct("conv_id").alias("v"))))
+        .unionAll(one("state_lsn_sum", state.agg(F.sum("lsn").alias("v"))))
+        .unionAll(one("state_text_chars",
+                      state.agg(F.sum(F.length("text")).alias("v"))))
+    )
