@@ -60,69 +60,20 @@ def query(name: str, oracle: str | None = None):
 # 4. remaining slots: last round's adjudicated entries, one per
 #    operator family first (test_gate enforces family coverage).
 #
-# ROTATED_OUT_R4 lists this round's cut (all were green in
-# CORRECTNESS_r03); they stay in queries()/oracle_sql() for inventory
+# ROTATED_OUT_R5 lists this round's cut (all were green in
+# CORRECTNESS_r04); they stay in queries()/oracle_sql() for inventory
 # and rotate back in next round.
 
 GATE_ORDER = [
-    # (1) new in round 4
-    "q38_range_bin_join",
-    "q39_interval_overlap_bin",
-    "m_jpeg_decode",
-    "m_mp3_metadata",
-    # (2) least-recently adjudicated (not in CORRECTNESS_r03)
-    "q03_anti_join_unseen",
-    "q09_partial_final_rollup",
-    "q10_scalar_totals_broadcast",
-    "q11_top1_per_key_window",
-    "q14_union_distinct_catalog",
-    "q15_not_in_subquery",
-    "q17_any_value_group",
-    "q19_distinct_projection",
-    "q20_surrogate_id_assignment",
-    "q27_latest_task_run",
-    "q30_explode_unnest",
-    "s_cosine_vs_query",
-    "s_ivf_kmeans_train",  # rows-only by design (k-means centroids)
-    "s_ann_ivf_topk",  # rows-only by design (approximate top-k)
-    "t_exact_dedup",
-    "t_fingerprint",
-    "t_token_stats",
-    "t_quality_score",
-    "t_langid",
-    "t_minhash_lsh_dedup",  # rows-only by design (MinHash estimates)
-    "t_simhash_near_pairs",  # rows-only by design (SimHash bands)
-    "t_incremental_minhash",  # rows-only by design (index parity)
-    # (3) CDC flagship pack — externally adjudicated every round
-    "cdc_feed_derivation",
-    "cdc_lww_dedup",
-    "cdc_lww_final_state",
-    "cdc_cow_final_state",
-    "cdc_stream_final_state",
-    "cdc_incremental_conv_stats",
-    "cdc_reconcile_midstream_vs_final",
-    "cdc_schema_evolution_state",
-    "cdc_delta_vs_state",
-    "cdc_tombstone_counts",
-    # (4) round-3-adjudicated family representatives
-    "st_windowed_event_counts",
-    "t_dedup_groups",
-    "t_ngram_jaccard_dedup",
-    "t_ngram_jaccard_prefix",
-    "s_ann_topk",
-    "s_embedding_near_dup_pairs",
-    "s_lsh_vector_near_dup",
-    "s_label_centroid_sim",
-    "m_png_decode",
-    "m_codec_metadata",
-    "m_image_resize",
-    "m_video_frame_sample",
-    "m_audio_features",
-    "q36_jdbc_federation",
-]
-
-# Round-4 cut (all green in CORRECTNESS_r03; rotate back next round).
-ROTATED_OUT_R4 = [
+    # (1) new or contract-changed in round 5: the gated dead-letter
+    # quarantine path, and the sketch pair re-registered with the
+    # engine-portable hash family (previously adjudicated rows-only;
+    # the oracle now value-checks them, so they re-enter as new)
+    "cdc_quarantine_dead_letter",
+    "t_minhash_lsh_dedup",  # oracle-backed since r5 (portable md5+LCG)
+    "t_simhash_near_pairs",  # oracle-backed since r5 (portable md5 bits)
+    # (2) least-recently adjudicated (ROTATED_OUT_R4 — green in r3,
+    # cut from the r4 gate, rotating back in)
     "q01_pricing_summary",
     "q02_watermark_delta_filter",
     "q12_range_interval_join",
@@ -149,6 +100,60 @@ ROTATED_OUT_R4 = [
     "q34_grouping_sets",
     "q35_sketch_aggregates",
     "q37_data_qa_suite",
+    # (3) CDC flagship pack — externally adjudicated every round
+    "cdc_feed_derivation",
+    "cdc_lww_dedup",
+    "cdc_lww_final_state",
+    "cdc_cow_final_state",
+    "cdc_stream_final_state",
+    "cdc_incremental_conv_stats",
+    "cdc_reconcile_midstream_vs_final",
+    "cdc_schema_evolution_state",
+    "cdc_delta_vs_state",
+    "cdc_tombstone_counts",
+    # (4) round-4-adjudicated family representatives
+    "st_windowed_event_counts",
+    "m_jpeg_decode",
+    "m_mp3_metadata",
+    "m_codec_metadata",
+    "s_cosine_vs_query",
+    "s_ann_topk",
+    "s_lsh_vector_near_dup",
+    "t_exact_dedup",
+    "t_dedup_groups",
+    "q36_jdbc_federation",
+    "q38_range_bin_join",
+]
+
+# Round-5 cut (all green in CORRECTNESS_r04; rotate back next round).
+ROTATED_OUT_R5 = [
+    "q39_interval_overlap_bin",
+    "q03_anti_join_unseen",
+    "q09_partial_final_rollup",
+    "q10_scalar_totals_broadcast",
+    "q11_top1_per_key_window",
+    "q14_union_distinct_catalog",
+    "q15_not_in_subquery",
+    "q17_any_value_group",
+    "q19_distinct_projection",
+    "q20_surrogate_id_assignment",
+    "q27_latest_task_run",
+    "q30_explode_unnest",
+    "s_ivf_kmeans_train",
+    "s_ann_ivf_topk",
+    "t_fingerprint",
+    "t_token_stats",
+    "t_quality_score",
+    "t_langid",
+    "t_incremental_minhash",
+    "t_ngram_jaccard_dedup",
+    "t_ngram_jaccard_prefix",
+    "s_embedding_near_dup_pairs",
+    "s_label_centroid_sim",
+    "m_png_decode",
+    "m_image_resize",
+    "m_video_frame_sample",
+    "m_audio_features",
 ]
 
 # Gated entries whose semantics are not SQL-expressible: the driver
@@ -156,11 +161,9 @@ ROTATED_OUT_R4 = [
 # value-level evidence lives in pytest (recall-vs-exact assertions,
 # batch-parity, convergence).
 GATE_ROWS_ONLY = {
-    "s_ivf_kmeans_train",
-    "s_ann_ivf_topk",
-    "t_minhash_lsh_dedup",
-    "t_simhash_near_pairs",
-    "t_incremental_minhash",
+    "s_ivf_kmeans_train",  # genuinely iterative (k-means) — permanent
+    "s_ann_ivf_topk",  # approximate top-k — permanent
+    "t_incremental_minhash",  # index parity vs batch — pytest-adjudicated
 }
 
 

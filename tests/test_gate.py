@@ -19,7 +19,7 @@ from radiant_portal_pipeline_spark.operators.registry import (
     GATE_ORDER,
     GATE_ROWS_ONLY,
     REGISTRY,
-    ROTATED_OUT_R4,
+    ROTATED_OUT_R5,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -61,15 +61,15 @@ def test_rotation_covers_registry_within_two_rounds():
     """Everything cut from this round's gate must have been adjudicated
     last round — no query goes two consecutive rounds without external
     adjudication."""
-    path = os.path.join(_REPO, "CORRECTNESS_r03.json")
+    path = os.path.join(_REPO, "CORRECTNESS_r04.json")
     if not os.path.exists(path):
         return
-    r3 = set(json.load(open(path)))
+    r4 = set(json.load(open(path)))
     tail = set(REGISTRY) - set(GATE_ORDER)
-    assert set(ROTATED_OUT_R4) == tail, (
-        "ROTATED_OUT_R4 out of sync with the actual tail"
+    assert set(ROTATED_OUT_R5) == tail, (
+        "ROTATED_OUT_R5 out of sync with the actual tail"
     )
-    not_recently = [n for n in tail if n not in r3]
+    not_recently = [n for n in tail if n not in r4]
     assert not not_recently, (
         f"cut from the gate AND not adjudicated last round: {not_recently}"
     )
@@ -79,5 +79,5 @@ def test_tail_queries_remain_registered():
     """Rotated-out shapes stay in queries() (inventory + a bigger
     future gate) — rotation must never delete an operator."""
     qs = entry.queries()
-    for must_exist in ROTATED_OUT_R4:
+    for must_exist in ROTATED_OUT_R5:
         assert must_exist in qs
