@@ -652,6 +652,7 @@ class TranscriptMergeEngine:
         purge_tombstones_below: int | None = None,
         min_files_per_bucket: int | None = None,
         small_file_bytes: int | None = None,
+        concurrent_safe: bool = False,
     ) -> list:
         """Fold MoR deltas: rewrite partitions to one row per key.
         Tombstones are KEPT by default — they guard against out-of-order
@@ -669,7 +670,19 @@ class TranscriptMergeEngine:
         buckets whose mean file size is below the target — so a
         streaming MoR table converges to bounded files/bucket with
         partition-scoped rewrites, never a full-table pass. Returns the
-        list of partitions actually compacted."""
+        list of partitions actually compacted.
+
+        ``concurrent_safe=True`` commits through the FILE-scoped
+        ``LakeTable.rewrite_files`` instead of the partition-level
+        replace: only the exact input files of the pinned snapshot are
+        swapped for the folded output, so an ingest batch APPENDING to
+        the same buckets mid-compaction rebases cleanly instead of
+        aborting the compaction — the overlap mode a streaming MoR
+        table needs (compaction runs behind the stream; MoR read-side
+        LWW keeps reads correct throughout). Result-equal to the
+        default: folding a subset of a partition's files is valid under
+        MoR because reads LWW-merge files anyway; only a concurrent
+        REWRITE of the same files aborts (two compactors)."""
         snap = self.table.snapshot()
         base_version = snap.version  # pin what we fold
         if partitions is not None:
@@ -701,11 +714,24 @@ class TranscriptMergeEngine:
                     & (F.col(self.lsn_col) < purge_tombstones_below)
                 )
             )
-        # base_version makes a concurrent append to these buckets abort
-        # the compaction (ConcurrentModification) instead of being lost
-        self.table.overwrite_partitions(
-            folded, also_replace=parts, layout_ready=True, base_version=base_version
-        )
+        if concurrent_safe:
+            # swap exactly the files the fold READ; files appended
+            # after base_version stay live (MoR reads LWW over them)
+            self.table.rewrite_files(
+                folded,
+                replace={p: list(snap.files.get(p, [])) for p in parts},
+                layout_ready=True,
+            )
+        else:
+            # base_version makes a concurrent append to these buckets
+            # abort the compaction (ConcurrentModification) instead of
+            # being lost
+            self.table.overwrite_partitions(
+                folded,
+                also_replace=parts,
+                layout_ready=True,
+                base_version=base_version,
+            )
         return parts
 
     def rescale(self, new_path: str, new_buckets: int) -> "TranscriptMergeEngine":

@@ -931,6 +931,108 @@ class LakeTable:
         self.last_commit_partitions = sorted(replaced)
         return out
 
+    def rewrite_files(
+        self,
+        df: DataFrame,
+        replace: dict[str, list[str]],
+        layout_ready: bool = False,
+    ) -> Snapshot:
+        """FILE-scoped rewrite (Iceberg's RewriteFiles): atomically swap
+        exactly the named input files for ``df``'s new files, leaving
+        every OTHER file in the touched partitions alive. This is the
+        commit shape that lets compaction run CONCURRENTLY with an
+        ingest stream: an append adds files it doesn't know about and
+        rebases cleanly (the rewritten set and the appended set are
+        disjoint), where ``overwrite_partitions`` must abort because a
+        partition-level replace computed from a stale snapshot would
+        drop the concurrent rows. Conflict rule: every file named in
+        ``replace`` must still be live — another rewrite having taken
+        any of them aborts with ConcurrentModification (two compactors
+        folding the same input would duplicate its rows).
+
+        ``replace`` maps partition value -> input files (as listed by
+        the snapshot the fold was computed from). A partition whose
+        fold produced no output (e.g. all rows tombstone-purged) simply
+        loses its input files."""
+        snap0 = self.snapshot()
+        schema = self._evolved_schema(snap0, df)
+        new_files, new_stats = self._write_data_files(
+            self._conform(df, schema),
+            snap0.partition_col,
+            layout_ready=layout_ready,
+            stat_cols=snap0.properties.get("stats_cols"),
+        )
+        unknown = set(new_files) - set(replace)
+        if unknown:
+            raise ValueError(
+                f"rewrite produced rows for partitions it did not read: "
+                f"{sorted(unknown)}"
+            )
+        replace = {str(p): list(fs) for p, fs in replace.items()}
+
+        if snap0.refs is not None:  # split layout
+
+            def mutate(snap: Snapshot):
+                from concurrent.futures import ThreadPoolExecutor
+
+                def build(item):
+                    pv, taken = item
+                    old_files, old_stats = snap.part_entry(pv)
+                    missing = [f for f in taken if f not in old_files]
+                    if missing:
+                        raise ConcurrentModification(
+                            f"files {missing[:3]} in partition {pv!r} were "
+                            f"rewritten concurrently; recompute the fold"
+                        )
+                    taken_set = set(taken)
+                    fs = [f for f in old_files if f not in taken_set]
+                    fs += new_files.get(pv, [])
+                    stats = {
+                        f: old_stats[f] for f in fs if f in old_stats
+                    }
+                    stats.update(
+                        {f: new_stats[f] for f in new_files.get(pv, [])}
+                    )
+                    return pv, self._write_blob({"files": fs, "stats": stats})
+
+                refs = dict(snap.refs)
+                with ThreadPoolExecutor(
+                    max_workers=min(16, max(1, len(replace)))
+                ) as ex:
+                    for pv, name in ex.map(build, replace.items()):
+                        refs[pv] = name
+                return {"schema": self._evolved_schema(snap, df), "refs": refs}
+
+        else:
+
+            def mutate(snap: Snapshot):
+                files = {k: list(v) for k, v in snap.files.items()}
+                stats = dict(snap.stats)
+                for pv, taken in replace.items():
+                    cur = files.get(pv, [])
+                    missing = [f for f in taken if f not in cur]
+                    if missing:
+                        raise ConcurrentModification(
+                            f"files {missing[:3]} in partition {pv!r} were "
+                            f"rewritten concurrently; recompute the fold"
+                        )
+                    taken_set = set(taken)
+                    files[pv] = [f for f in cur if f not in taken_set]
+                    files[pv] += new_files.get(pv, [])
+                    for f in taken:
+                        stats.pop(f, None)
+                stats.update(new_stats)
+                return {
+                    "schema": self._evolved_schema(snap, df),
+                    "files": files,
+                    "stats": stats,
+                }
+
+        out = self._commit(mutate)
+        assert out is not None
+        self.last_commit_partitions = sorted(replace)
+        return out
+
     # ------------------------------------------------------- maintenance
 
     def add_columns(self, fields: list[T.StructField]) -> Snapshot:

@@ -461,3 +461,133 @@ def test_s3_delete_falls_back_without_ifmatch_support():
     proto.delete("/t/_m/v1.json")
     with pytest.raises(FileNotFoundError):
         proto.read("/t/_m/v1.json")
+
+
+@pytest.mark.parametrize("proto_kind", ["posix", "memory", "s3"])
+def test_rewrite_files_survives_concurrent_append(spark, tmp_path, proto_kind):
+    """The file-scoped rewrite (Iceberg RewriteFiles shape): a
+    compaction computed from snapshot V swaps exactly V's files while
+    a concurrent append lands new files in the SAME partition — the
+    rewrite commits (appended files stay live) where the
+    partition-level replace must abort. Over all three protocols."""
+    path = str(tmp_path / "t")
+    proto = _proto(proto_kind)
+    tbl = LakeTable.create(spark, path, SCHEMA, "part", commit_protocol=proto)
+    tbl.append(spark.createDataFrame([("a", 1, 0), ("b", 2, 0)], SCHEMA))
+    tbl.append(spark.createDataFrame([("a", 9, 0)], SCHEMA))
+
+    snap = tbl.snapshot()
+    base_files = {p: list(fs) for p, fs in snap.files.items()}
+    # the "fold": latest v per k over the pinned snapshot
+    folded = spark.createDataFrame([("a", 9, 0), ("b", 2, 0)], SCHEMA)
+
+    # ... meanwhile an ingest batch appends to the same partition
+    LakeTable(spark, path, commit_protocol=proto).append(
+        spark.createDataFrame([("c", 3, 0)], SCHEMA)
+    )
+
+    tbl.rewrite_files(folded, replace=base_files)
+    rows = {tuple(r) for r in tbl.read().collect()}
+    assert rows == {("a", 9, 0), ("b", 2, 0), ("c", 3, 0)}
+
+    # the swapped input files are gone from the manifest
+    live = {f for fs in tbl.snapshot().files.values() for f in fs}
+    taken = {f for fs in base_files.values() for f in fs}
+    assert not (live & taken)
+
+
+def test_rewrite_files_conflicts_with_concurrent_rewrite(spark, tmp_path):
+    """Two compactors folding the SAME input files: the second commit
+    must abort (its fold duplicates rows the first already wrote)."""
+    path = str(tmp_path / "t")
+    tbl = LakeTable.create(spark, path, SCHEMA, "part")
+    tbl.append(spark.createDataFrame([("a", 1, 0), ("b", 2, 0)], SCHEMA))
+    base_files = {p: list(fs) for p, fs in tbl.snapshot().files.items()}
+    folded = spark.createDataFrame([("a", 1, 0), ("b", 2, 0)], SCHEMA)
+
+    tbl.rewrite_files(folded, replace=base_files)
+    with pytest.raises(ConcurrentModification, match="rewritten concurrently"):
+        LakeTable(spark, path).rewrite_files(folded, replace=base_files)
+
+
+def test_rewrite_files_rejects_unread_partitions(spark, tmp_path):
+    """A fold emitting rows for a partition it never read is a bug in
+    the caller — refuse instead of silently adding files."""
+    path = str(tmp_path / "t")
+    tbl = LakeTable.create(spark, path, SCHEMA, "part")
+    tbl.append(spark.createDataFrame([("a", 1, 0)], SCHEMA))
+    base_files = {p: list(fs) for p, fs in tbl.snapshot().files.items()}
+    stray = spark.createDataFrame([("z", 1, 7)], SCHEMA)
+    with pytest.raises(ValueError, match="did not read"):
+        tbl.rewrite_files(stray, replace=base_files)
+
+
+def test_concurrent_safe_compaction_overlaps_ingest(spark, tmp_path):
+    """Engine-level overlap: compact(concurrent_safe=True) runs in a
+    background thread WHILE merge batches keep applying to the same
+    buckets. The compaction must commit (not abort), and the final
+    read state must equal a replay with no compaction at all."""
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+
+    def batch(lo, n, v):
+        rows = [
+            (
+                f"c{i % 50}", (i // 50) % 20, "user", f"t{v}-{i}",
+                None, None, "U", lo + i, 0,
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, S.CHANGE_EVENT_SCHEMA)
+
+    def final_state(path, batches):
+        t = TranscriptMergeEngine.create_table(spark, path, num_buckets=8)
+        e = TranscriptMergeEngine(t, num_buckets=8)
+        for ep, b in enumerate(batches):
+            e.merge_batch(b, epoch=ep)
+        return e
+
+    batches = [batch(i * 5_000, 5_000, i) for i in range(4)]
+
+    # reference: plain replay, no compaction
+    ref = final_state(str(tmp_path / "ref"), batches)
+    expect = sorted(
+        tuple(r)
+        for r in ref.current_state()
+        .select("conv_id", "turn_idx", "text", "lsn")
+        .collect()
+    )
+
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t"), num_buckets=8
+    )
+    eng = TranscriptMergeEngine(tbl, num_buckets=8)
+    eng.merge_batch(batches[0], epoch=0)
+    eng.merge_batch(batches[1], epoch=1)
+
+    compacted: list = []
+    errs: list = []
+
+    def compactor():
+        try:
+            compacted.extend(eng.compact(concurrent_safe=True))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    import threading
+
+    th = threading.Thread(target=compactor)
+    th.start()
+    eng.merge_batch(batches[2], epoch=2)  # overlaps the fold/commit
+    th.join()
+    eng.merge_batch(batches[3], epoch=3)
+
+    assert not errs, errs
+    assert compacted  # it actually folded partitions
+    got = sorted(
+        tuple(r)
+        for r in eng.current_state()
+        .select("conv_id", "turn_idx", "text", "lsn")
+        .collect()
+    )
+    assert got == expect
