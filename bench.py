@@ -120,6 +120,7 @@ def _cached_feed_dir(
 def _merge_replay_seconds(
     spark, n_events: int, mode: str, merge_plan: str = "adaptive",
     hot_every: int = 5, buckets: int | None = None, sink: str = "table",
+    n_convs: int = 9973,
 ) -> dict:
     """Apply a synthetic feed in MERGE_BATCHES epoch slices; wall time.
     MoR additionally times a final compaction + state materialization."""
@@ -135,7 +136,9 @@ def _merge_replay_seconds(
     # charge every batch a full-feed scan (and charge plans that read
     # the batch twice, like argmax's slim winners pass, a full-feed
     # DESERIALIZE where a columnar source reads three thin columns).
-    feed_dir = _cached_feed_dir(spark, n_events, MERGE_BATCHES, hot_every)
+    feed_dir = _cached_feed_dir(
+        spark, n_events, MERGE_BATCHES, hot_every, n_convs=n_convs
+    )
     batches = [
         spark.read.parquet(f"{feed_dir}/slice={b}") for b in range(MERGE_BATCHES)
     ]
@@ -307,7 +310,14 @@ def sustained(
         st = eng.merge_batch(spark.read.parquet(f"{feed_dir}/slice={b}"), epoch=b)
         per_batch.append(round(time.time() - t0, 2))
         plans.append(st.plan)
-        if overlap_compact and (bg["thread"] is None or not bg["thread"].is_alive()):
+        # kick a background fold that overlaps the NEXT batch's apply;
+        # after the LAST batch there is nothing left to hide behind, so
+        # leave the residue to the (separately timed) final compact
+        if (
+            overlap_compact
+            and b < n_batches - 1
+            and (bg["thread"] is None or not bg["thread"].is_alive())
+        ):
             bg["thread"] = threading.Thread(target=_bg_compact, daemon=True)
             bg["thread"].start()
     if bg["thread"] is not None:
@@ -335,7 +345,7 @@ def sustained(
 
 def merge_only(
     cpus: int, n_events: int, mode: str, merge_plan: str = "adaptive",
-    hot_every: int = 5, sink: str = "table",
+    hot_every: int = 5, sink: str = "table", n_convs: int = 9973,
 ) -> dict:
     from radiant_portal_pipeline_spark.session import get_spark
 
@@ -347,11 +357,12 @@ def merge_only(
         shuffle_partitions=2 * cpus,
     )
     rec = _merge_replay_seconds(
-        spark, n_events, mode, merge_plan, hot_every, sink=sink
+        spark, n_events, mode, merge_plan, hot_every, sink=sink, n_convs=n_convs,
     )
     rec.update({"seconds": rec["apply_seconds"], "events": n_events, "cpus": cpus,
                 "mode": mode, "merge_plan": merge_plan, "hot_every": hot_every,
-                "buckets": merge_buckets(cpus), "sink": sink})
+                "buckets": merge_buckets(cpus), "sink": sink,
+                "n_convs": n_convs})
     return rec
 
 
@@ -502,6 +513,11 @@ def main() -> None:
         ],
     )
     ap.add_argument("--sink", default="table", choices=["table", "noop"])
+    ap.add_argument(
+        "--n-convs", type=int, default=9973,
+        help="conversation-key cardinality of the synthetic feed "
+             "(9973 = update-heavy; 999983 = insert-heavy shape)",
+    )
     ap.add_argument("--floor-probe", action="store_true")
     ap.add_argument(
         "--sustained", choices=["update", "insert"],
@@ -545,7 +561,7 @@ def main() -> None:
             json.dumps(
                 merge_only(
                     args.cpus, args.events, args.mode, args.merge_plan,
-                    args.hot_every, sink=args.sink,
+                    args.hot_every, sink=args.sink, n_convs=args.n_convs,
                 )
             )
         )

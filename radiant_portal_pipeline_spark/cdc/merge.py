@@ -91,18 +91,21 @@ class TranscriptMergeEngine:
         broadcast_max_winners: int = 2_000_000,
         quarantine: "LakeTable | None" = None,
         estimate_every: int = 1,
+        hot_split_enabled: bool = True,
+        hot_split_max_convs: int = 1000,
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
         if merge_plan not in (
             "adaptive", "argmax", "argmax_broadcast", "append_only",
-            "two_phase", "single_exchange",
+            "hot_split", "two_phase", "single_exchange",
         ):
             raise ValueError(f"unknown merge_plan {merge_plan!r}")
-        if merge_plan == "append_only" and mode != "mor":
+        if merge_plan in ("append_only", "hot_split") and mode != "mor":
             raise ValueError(
-                "append_only elides the write-path dedup, which is only "
-                "correct under MoR read-side LWW — copy-on-write must fold"
+                f"{merge_plan} elides (part of) the write-path dedup, which "
+                "is only correct under MoR read-side LWW — copy-on-write "
+                "must fold"
             )
         self.table = table
         # The bucket count is part of the TABLE's identity (rows are
@@ -133,6 +136,18 @@ class TranscriptMergeEngine:
         self.dup_share_threshold = float(dup_share_threshold)
         self.chooser_rsd = float(chooser_rsd)
         self.broadcast_max_winners = int(broadcast_max_winners)
+        # hot_split plan (round-5): when the batch's distinct keys are
+        # too many to broadcast AND the duplicate mass is CONCENTRATED
+        # in a few conversations (the hot-conv insert shape), dedup
+        # ONLY the heavy conversations (tiny broadcast winners) and
+        # append the unique tail raw — MoR read-side LWW keeps reads
+        # correct, and the 10M+-winner shuffle disappears. Measured
+        # (BENCH.md round 5): the insert-shape apply is dedup-compute-
+        # bound, not write-bound (noop sink = 85% of apply), so this is
+        # the lever that moves it.
+        self.hot_split_enabled = bool(hot_split_enabled)
+        self.hot_split_max_convs = int(hot_split_max_convs)
+        self._hot_convs: list | None = None
         # dead-letter table: when set, contract-violating rows (NULL
         # merge key / NULL lsn) are SPLIT OUT with a reason and the
         # valid remainder merges; when None (default), the in-plan
@@ -331,10 +346,32 @@ class TranscriptMergeEngine:
                             f"<={self.broadcast_max_winners}",
                         )
                     else:
-                        choice = (
-                            "argmax",
-                            f"est_keys~{row['nk']}>{self.broadcast_max_winners}",
-                        )
+                        # winners too big to broadcast. If the dup mass
+                        # is CONCENTRATED in a few conversations, dedup
+                        # only those and append the unique tail raw
+                        # (hot_split) — the O(distinct keys) winners
+                        # shuffle is the dominant cost of this shape
+                        choice = None
+                        if self.hot_split_enabled:
+                            hot = self._probe_hot_convs(
+                                df, int(row["n"]), int(row["nk"])
+                            )
+                            if hot is not None:
+                                convs, mass_frac = hot
+                                self._hot_convs = convs
+                                choice = (
+                                    "hot_split",
+                                    f"est_keys~{row['nk']}>"
+                                    f"{self.broadcast_max_winners}, "
+                                    f"{len(convs)} hot convs carry "
+                                    f"~{mass_frac:.0%} of dup mass",
+                                )
+                        if choice is None:
+                            choice = (
+                                "argmax",
+                                f"est_keys~{row['nk']}>"
+                                f"{self.broadcast_max_winners}",
+                            )
                     self._sticky_plan = choice
                     self._sticky_left = self.estimate_every - 1
                     self._sticky_n = int(row["n"])
@@ -358,6 +395,45 @@ class TranscriptMergeEngine:
         if share > 2.0 / p:
             return "two_phase", f"hot_bucket_share={share:.3f}>2/{p}"
         return "single_exchange", f"hot_bucket_share={share:.3f}<=2/{p}"
+
+    def _probe_hot_convs(
+        self, df: DataFrame, n: int, nk: int
+    ) -> tuple[list, float] | None:
+        """Heavy-hitter probe for the hot_split decision: a 1%
+        ROW-level deterministic sample (hash of key+lsn — hashing the
+        conversation alone would put whole conversations in or out of
+        the sample), per-conversation counts, keep conversations with
+        >=20 sampled rows (~>=2,000 true rows). Returns (conv list,
+        estimated fraction of the batch's duplicate mass they carry)
+        when few enough conversations cover >=50% of the dup mass;
+        None otherwise (fall back to shuffled argmax). Deterministic
+        per batch content, so replays choose the same plan."""
+        total_dups = n - nk
+        if total_dups <= 0:
+            return None
+        conv = self.key_cols[0]
+        sample = df.filter(
+            F.pmod(
+                F.xxhash64(*self.key_cols, self.lsn_col, F.lit(43)), F.lit(100)
+            )
+            == 0
+        )
+        rows = (
+            sample.groupBy(conv)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 20)
+            .orderBy(F.desc("c"), F.asc(conv))
+            .limit(self.hot_split_max_convs + 1)
+            .collect()
+        )
+        if not rows or len(rows) > self.hot_split_max_convs:
+            return None
+        est_heavy_rows = sum(r["c"] for r in rows) * 100
+        if est_heavy_rows < 0.5 * total_dups:
+            return None
+        return [r[conv] for r in rows], min(
+            est_heavy_rows / total_dups, 1.0
+        )
 
     def _dedup_and_layout(
         self, df: DataFrame, keys, order_cols, plan: str | None = None
@@ -403,6 +479,44 @@ class TranscriptMergeEngine:
             # write-path dedup elided (insert-dominant batch, MoR):
             # read-side LWW resolves any duplicates; compact() folds
             return df.repartition(self.num_buckets, F.col(S.PART_COL))
+        if plan == "hot_split":
+            # the concentrated-duplicates insert shape: dedup ONLY the
+            # heavy conversations (map-side combine collapses them to a
+            # handful of winners; broadcast semi join, zero full-row
+            # exchanges), append the unique tail RAW — read-side LWW
+            # resolves any tail duplicates, compact() folds them. The
+            # only full-row exchange left is the layout repartition
+            # every plan needs. coalesce(.., False) sends NULL-conv
+            # rows to the tail so the part column's raise_error guard
+            # still reaches them.
+            from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
+
+            if self._hot_convs is None:  # static merge_plan="hot_split"
+                est = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(
+                        F.xxhash64(*self.key_cols), self.chooser_rsd
+                    ).alias("nk"),
+                ).head()
+                hot = self._probe_hot_convs(df, int(est["n"]), int(est["nk"]))
+                self._hot_convs = hot[0] if hot is not None else []
+            if not self._hot_convs:
+                # no concentrated conversations found — degenerate to
+                # the pure append (read-side LWW still correct)
+                return df.repartition(self.num_buckets, F.col(S.PART_COL))
+            conv = self.key_cols[0]
+            is_hot = F.coalesce(
+                F.col(conv).isin(list(self._hot_convs)), F.lit(False)
+            )
+            heavy = df.filter(is_hot)
+            tail = df.filter(~is_hot)
+            winners = argmax_winner_rows(
+                heavy, keys, order_cols[0], broadcast=True
+            ).dropDuplicates()
+            out = winners.select(*df.columns).unionByName(
+                tail.select(*df.columns)
+            )
+            return out.repartition(self.num_buckets, F.col(S.PART_COL))
         if plan in ("argmax", "argmax_broadcast"):
             from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
 

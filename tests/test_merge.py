@@ -744,3 +744,84 @@ def test_sticky_plan_invalidated_by_batch_size_jump(spark, tmp_path):
     big = {(f"b{i}", 0): 5 for i in range(2000)}  # 10k rows, 2000 keys
     st = eng.merge_batch(_keyed_batch(spark, big, 20_000), epoch=2)
     assert st.plan == "argmax"
+
+
+def test_hot_split_equals_folding_plans_and_chooser_picks_it(spark, tmp_path):
+    """hot_split (round-5): dedup only the heavy conversations, append
+    the unique tail raw. Must be READ-equivalent to the shuffled argmax
+    on a concentrated-duplicates insert-shape feed (hot conv + mostly
+    unique tail, verbatim replays included), and the adaptive chooser
+    must pick it when winners exceed the broadcast bound but the dup
+    mass is concentrated."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    # 40k events, 12k convs -> ~32k distinct keys; hot conv takes 20%;
+    # dup_frac adds verbatim replays on both sides of the split
+    feed = synthetic_feed(
+        spark, 40_000, n_convs=12_007, dup_frac=0.03, hot_every=5
+    ).localCheckpoint(eager=True)
+
+    def replay(plan, name, **kw):
+        tbl = TranscriptMergeEngine.create_table(
+            spark, str(tmp_path / name), num_buckets=8
+        )
+        eng = TranscriptMergeEngine(tbl, num_buckets=8, merge_plan=plan, **kw)
+        stats = []
+        for e in range(2):
+            stats.append(
+                eng.merge_batch(feed.filter(F.col("commit_epoch") % 2 == e), epoch=e)
+            )
+        return eng, stats
+
+    hs, hs_stats = replay("hot_split", "hs")
+    am, _ = replay("argmax", "am")
+    want = sorted(map(tuple, am.current_state().collect()))
+    got = sorted(map(tuple, hs.current_state().collect()))
+    assert got == want and len(got) > 0
+    # the heavy conversation was deduped at write time: the physical
+    # hot-conv rows are bounded by its key count, not its event count
+    hot_rows = hs.table.read().filter(F.col("conv_id") == "conv-hot").count()
+    assert hot_rows <= 2 * 200  # 200 hot keys x 2 batches
+
+    # adaptive chooser: winners bound forced below the key count and
+    # dup mass concentrated in conv-hot -> hot_split
+    ad, ad_stats = replay(
+        "adaptive", "ad", broadcast_max_winners=5_000,
+        dup_share_threshold=0.01,
+    )
+    assert sorted(map(tuple, ad.current_state().collect())) == want
+    assert all(s.plan == "hot_split" for s in ad_stats), [
+        s.plan for s in ad_stats
+    ]
+
+    # compaction folds the raw tail: post-compact physical rows equal
+    # the folding plan's post-compact rows
+    hs.compact()
+    am.compact()
+    assert hs.table.read().count() == am.table.read().count()
+    assert sorted(map(tuple, hs.current_state().collect())) == want
+
+
+def test_hot_split_spread_duplicates_fall_back_to_argmax(spark, tmp_path):
+    """Duplicates spread across MANY conversations (no concentration):
+    the probe must find no heavy conversations and the chooser must
+    fall back to the shuffled argmax, never hot_split."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    # hot_every=0 -> no hot conversation; 400 convs x 50 turns over
+    # 40k events -> every key ~2 events: dup mass 50%, fully spread
+    feed = synthetic_feed(
+        spark, 40_000, n_convs=397, hot_every=1_000_000_000
+    ).localCheckpoint(eager=True)
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "t"), num_buckets=8
+    )
+    eng = TranscriptMergeEngine(
+        tbl, num_buckets=8, merge_plan="adaptive", broadcast_max_winners=1_000
+    )
+    st = eng.merge_batch(feed, epoch=0)
+    assert st.plan == "argmax", st.plan
