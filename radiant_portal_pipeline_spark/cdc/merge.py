@@ -320,12 +320,7 @@ class TranscriptMergeEngine:
                         plan, why = self._sticky_plan
                         return plan, f"sticky[{why}]"
                     self._sticky_plan, self._sticky_left = None, 0
-                row = df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.approx_count_distinct(
-                        F.xxhash64(*self.key_cols), self.chooser_rsd
-                    ).alias("nk"),
-                ).head()
+                row = self._estimate_batch(df)
                 if row is not None and row["n"]:
                     dup_share = max(0.0, 1.0 - row["nk"] / row["n"])
                     if (
@@ -396,6 +391,17 @@ class TranscriptMergeEngine:
             return "two_phase", f"hot_bucket_share={share:.3f}>2/{p}"
         return "single_exchange", f"hot_bucket_share={share:.3f}<=2/{p}"
 
+    def _estimate_batch(self, df: DataFrame):
+        """The chooser's one full-coverage estimator job: row count +
+        HLL distinct keys (single definition — the adaptive chooser and
+        the static hot_split path must never drift)."""
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(
+                F.xxhash64(*self.key_cols), self.chooser_rsd
+            ).alias("nk"),
+        ).head()
+
     def _probe_hot_convs(
         self, df: DataFrame, n: int, nk: int
     ) -> tuple[list, float] | None:
@@ -412,27 +418,56 @@ class TranscriptMergeEngine:
         if total_dups <= 0:
             return None
         conv = self.key_cols[0]
-        sample = df.filter(
-            F.pmod(
-                F.xxhash64(*self.key_cols, self.lsn_col, F.lit(43)), F.lit(100)
+        # adaptive rate: ~160k sampled rows regardless of batch size
+        # (1/100 at the 16M design point, full scan below 160k rows —
+        # a fixed 1% starves the duplicate-evidence signal on small
+        # batches)
+        mod = max(1, min(100, n // 160_000))
+        sample = df
+        if mod > 1:
+            sample = df.filter(
+                F.pmod(
+                    F.xxhash64(*self.key_cols, self.lsn_col, F.lit(43)),
+                    F.lit(mod),
+                )
+                == 0
             )
-            == 0
-        )
+        # per-conversation sampled rows AND sampled distinct keys: a
+        # conversation is heavy only when its sampled rows materially
+        # EXCEED its sampled keys (duplicate evidence) — a mega-
+        # conversation backfill of unique keys has c ~= ck and must NOT
+        # be flagged, because its "winners" are its entire row set and
+        # broadcasting them is exactly the OOM the broadcast bound
+        # exists to prevent (round-5 review finding #1)
         rows = (
             sample.groupBy(conv)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= 20)
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.countDistinct(*self.key_cols).alias("ck"),
+            )
+            .filter(
+                (F.col("c") * mod >= 2_000)
+                & ((F.col("c") - F.col("ck")) * mod >= 1_000)
+            )
             .orderBy(F.desc("c"), F.asc(conv))
             .limit(self.hot_split_max_convs + 1)
             .collect()
         )
         if not rows or len(rows) > self.hot_split_max_convs:
             return None
-        est_heavy_rows = sum(r["c"] for r in rows) * 100
-        if est_heavy_rows < 0.5 * total_dups:
+        # conservative winners bound: mod x the sampled distinct keys
+        # OVERestimates the heavy set's true key count (every true key
+        # with many duplicates is sampled with near-certainty but
+        # counts once) — the broadcast winners must fit the same bound
+        # the argmax_broadcast path enforces
+        est_heavy_keys = sum(r["ck"] for r in rows) * mod
+        if est_heavy_keys > self.broadcast_max_winners:
+            return None
+        est_heavy_dups = sum(r["c"] - r["ck"] for r in rows) * mod
+        if est_heavy_dups < 0.5 * total_dups:
             return None
         return [r[conv] for r in rows], min(
-            est_heavy_rows / total_dups, 1.0
+            est_heavy_dups / total_dups, 1.0
         )
 
     def _dedup_and_layout(
@@ -491,23 +526,25 @@ class TranscriptMergeEngine:
             # still reaches them.
             from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
 
-            if self._hot_convs is None:  # static merge_plan="hot_split"
-                est = df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.approx_count_distinct(
-                        F.xxhash64(*self.key_cols), self.chooser_rsd
-                    ).alias("nk"),
-                ).head()
+            if self.merge_plan == "hot_split":
+                # STATIC plan: probe THIS batch, never cache across
+                # batches — a first insert-only batch would otherwise
+                # pin an empty list and void the plan for the engine's
+                # lifetime, and the hot set can shift mid-stream
+                # (round-5 review finding #2)
+                est = self._estimate_batch(df)
                 hot = self._probe_hot_convs(df, int(est["n"]), int(est["nk"]))
-                self._hot_convs = hot[0] if hot is not None else []
-            if not self._hot_convs:
+                convs = hot[0] if hot is not None else []
+            else:
+                # adaptive: _choose_plan probed this batch (or a sticky
+                # window is replaying its decision) and stored the list
+                convs = list(self._hot_convs or [])
+            if not convs:
                 # no concentrated conversations found — degenerate to
                 # the pure append (read-side LWW still correct)
                 return df.repartition(self.num_buckets, F.col(S.PART_COL))
             conv = self.key_cols[0]
-            is_hot = F.coalesce(
-                F.col(conv).isin(list(self._hot_convs)), F.lit(False)
-            )
+            is_hot = F.coalesce(F.col(conv).isin(convs), F.lit(False))
             heavy = df.filter(is_hot)
             tail = df.filter(~is_hot)
             winners = argmax_winner_rows(

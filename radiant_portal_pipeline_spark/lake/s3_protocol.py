@@ -82,20 +82,33 @@ class S3ConditionalPutProtocol(CommitProtocol):
             # re-apply the mutation (duplicate data files on non-epoch
             # commits). Disambiguate by content: byte-identical object
             # == our PUT landed (or an identical commit won, which is
-            # equally a success); anything else is a genuine race.
-            try:
-                existing = self.client.get_object(
-                    Bucket=self.bucket, Key=self._key(target)
-                )
+            # equally a success); anything else is a genuine race. The
+            # GET is retried on TRANSPORT errors — misreading a
+            # transient throttle as "lost the race" would reintroduce
+            # the double-apply this branch exists to prevent; when
+            # still undecidable the transport error surfaces instead
+            # of guessing either way.
+            last_transport: Exception | None = None
+            for _ in range(3):
+                try:
+                    existing = self.client.get_object(
+                        Bucket=self.bucket, Key=self._key(target)
+                    )
+                except Exception as ge:  # noqa: BLE001
+                    if _error_code(ge) in ("NoSuchKey", "404"):
+                        # existed at PUT time, gone now: another
+                        # writer's object came and went — a real race
+                        raise FileExistsError(target) from e
+                    last_transport = ge
+                    continue
                 body = existing["Body"]
                 got = body.read() if hasattr(body, "read") else body
                 if isinstance(got, str):
                     got = got.encode()
                 if got == payload:
                     return  # own (retried) PUT landed — commit succeeded
-            except Exception:  # noqa: BLE001 — vanished again: real race
-                pass
-            raise FileExistsError(target) from e
+                raise FileExistsError(target) from e
+            raise last_transport  # undecidable — surface, don't guess
 
     def read(self, target: str) -> str:
         try:
@@ -152,7 +165,7 @@ class S3ConditionalPutProtocol(CommitProtocol):
             else:
                 self.client.delete_object(Bucket=self.bucket, Key=key)
         except TypeError:
-            # injected client predates conditional deletes — fall back
+            # injected fake predates conditional deletes — fall back
             # to the unconditional (documented GC-only) path
             self.client.delete_object(Bucket=self.bucket, Key=key)
         except Exception as e:  # noqa: BLE001
@@ -160,6 +173,13 @@ class S3ConditionalPutProtocol(CommitProtocol):
                 # raced: the object we probed is gone/replaced — the
                 # name no longer holds what the caller asked to delete
                 raise FileNotFoundError(target) from e
+            if type(e).__name__ == "ParamValidationError":
+                # a real botocore older than S3 conditional deletes
+                # (GA Nov 2024) rejects the IfMatch kwarg client-side
+                # with ParamValidationError, not TypeError — same
+                # fallback (round-5 review finding #3)
+                self.client.delete_object(Bucket=self.bucket, Key=key)
+                return
             raise
 
     def age_seconds(self, target: str) -> float | None:

@@ -1030,7 +1030,14 @@ class LakeTable:
 
         out = self._commit(mutate)
         assert out is not None
-        self.last_commit_partitions = sorted(replace)
+        # deliberately does NOT touch self.last_commit_partitions:
+        # rewrite_files is designed to run CONCURRENTLY with an ingest
+        # thread on the same handle (compact(concurrent_safe=True)),
+        # and merge_batch reads last_commit_partitions right after its
+        # append — a background rewrite overwriting it in that window
+        # would misreport the batch's touched buckets to lineage and
+        # incremental-aggregate refresh (round-5 review finding #4).
+        # Callers get the touched set from their own `replace` arg.
         return out
 
     # ------------------------------------------------------- maintenance

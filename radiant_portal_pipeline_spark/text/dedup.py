@@ -303,6 +303,21 @@ def _portable_minhash_expr(i: int):
     return F.pmod(F.lit(a) * r + F.lit(b), F.lit(PORTABLE_M))
 
 
+def _min_exprs(hash_family: str) -> list:
+    """The ONE definition of the per-seed min-hash aggregates for both
+    signature builders — the adjudicated query and the library path
+    must never drift (round-5 review)."""
+    if hash_family == "md5lcg":
+        return [
+            F.min(_portable_minhash_expr(i)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    return [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, hash_family: str = "xxh"
 ) -> DataFrame:
@@ -310,17 +325,7 @@ def minhash_signatures(
     seed-i permutation = xxhash64(shingle, seed_i) (default) or the
     engine-portable md5+LCG family; min per seed."""
     sh = word_shingles(docs, k=k)
-    if hash_family == "md5lcg":
-        mins = [
-            F.min(_portable_minhash_expr(i)).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    else:
-        mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = sh.groupBy("doc_id").agg(*_min_exprs(hash_family))
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
@@ -387,17 +392,7 @@ def minhash_lsh_dedup(
     IDENTICAL signatures, bands and candidates (round-4 verdict
     'what's missing' #3); the default stays xxhash64."""
     sh = word_shingles(docs, k=k).localCheckpoint(eager=True)  # single-pass: local cut is fine
-    if hash_family == "md5lcg":
-        mins = [
-            F.min(_portable_minhash_expr(i)).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    else:
-        mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    sigs = sh.groupBy("doc_id").agg(*mins).select(
+    sigs = sh.groupBy("doc_id").agg(*_min_exprs(hash_family)).select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
     cands = lsh_candidate_pairs(sigs, hash_family=hash_family)

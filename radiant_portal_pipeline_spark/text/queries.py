@@ -153,8 +153,8 @@ _NGRAM_PAIRS_SQL = f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
     sh AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        RANGE(1, GREATEST(LEN(w) - 1, 1)),
-        i -> w[i::INT] || ' ' || w[i::INT + 1] || ' ' || w[i::INT + 2]))) AS shingle
+        RANGE(1, GREATEST(LEN(w) - 1, 2)),
+        i -> ARRAY_TO_STRING(w[i::INT:(i::INT + 2)], ' ')))) AS shingle
       FROM d),
     sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
     ok AS (SELECT shingle FROM sh2 GROUP BY shingle
@@ -272,8 +272,8 @@ def _minhash_portable_sql() -> str:
     WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
     sh0 AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        RANGE(1, GREATEST(LEN(w) - 1, 1)),
-        i -> w[i::INT] || ' ' || w[i::INT + 1] || ' ' || w[i::INT + 2]))) AS shingle
+        RANGE(1, GREATEST(LEN(w) - 1, 2)),
+        i -> ARRAY_TO_STRING(w[i::INT:(i::INT + 2)], ' ')))) AS shingle
       FROM d),
     sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle <> ''),
     hx AS (SELECT doc_id, shingle,

@@ -591,3 +591,72 @@ def test_concurrent_safe_compaction_overlaps_ingest(spark, tmp_path):
         .collect()
     )
     assert got == expect
+
+
+def test_s3_delete_param_validation_fallback():
+    """A real botocore predating conditional deletes rejects the
+    IfMatch kwarg with ParamValidationError (not TypeError); delete()
+    must fall back to the unconditional path, never leak the botocore
+    type (round-5 review)."""
+
+    class ParamValidationError(Exception):
+        pass
+
+    class OldBotoClient(FakeS3Client):
+        def delete_object(self, Bucket, Key, **kw):
+            if "IfMatch" in kw:
+                raise ParamValidationError(
+                    'Unknown parameter in input: "IfMatch"'
+                )
+            return super().delete_object(Bucket, Key)
+
+    proto = S3ConditionalPutProtocol("b", OldBotoClient())
+    proto.publish("/t/_m/v1.json", b"x")
+    proto.delete("/t/_m/v1.json")
+    with pytest.raises(FileNotFoundError):
+        proto.read("/t/_m/v1.json")
+
+
+def test_s3_publish_412_get_retries_transport_errors():
+    """The 412-disambiguation GET retries transient transport failures
+    instead of misclassifying them as a lost race; a persistent
+    transport failure surfaces rather than guessing."""
+
+    class FlakyGetClient(FakeS3Client):
+        def __init__(self, fail_n):
+            super().__init__()
+            self.fail_n = fail_n
+
+        def get_object(self, Bucket, Key):
+            if self.fail_n > 0:
+                self.fail_n -= 1
+                raise _ClientError("SlowDown")
+            return super().get_object(Bucket, Key)
+
+    # transient: 2 failures then success — own retried PUT is a success
+    c = FlakyGetClient(fail_n=2)
+    proto = S3ConditionalPutProtocol("b", c)
+    proto.publish("/t/_m/v1.json", b"same")
+    proto.publish("/t/_m/v1.json", b"same")  # SDK-retry shape, flaky GET
+
+    # persistent: the transport error surfaces (no FileExistsError guess)
+    c2 = FlakyGetClient(fail_n=99)
+    proto2 = S3ConditionalPutProtocol("b", c2)
+    proto2.publish("/t/_m/v1.json", b"one")
+    with pytest.raises(_ClientError):
+        proto2.publish("/t/_m/v1.json", b"one")
+
+
+def test_rewrite_files_does_not_clobber_last_commit_partitions(spark, tmp_path):
+    """merge_batch reads table.last_commit_partitions right after its
+    append; a concurrent rewrite_files must not overwrite it."""
+    path = str(tmp_path / "t")
+    tbl = LakeTable.create(spark, path, SCHEMA, "part")
+    tbl.append(spark.createDataFrame([("a", 1, 0), ("b", 2, 1)], SCHEMA))
+    marker = list(tbl.last_commit_partitions)
+    base_files = {p: list(fs) for p, fs in tbl.snapshot().files.items()}
+    tbl.rewrite_files(
+        spark.createDataFrame([("a", 1, 0), ("b", 2, 1)], SCHEMA),
+        replace=base_files,
+    )
+    assert tbl.last_commit_partitions == marker

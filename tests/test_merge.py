@@ -825,3 +825,28 @@ def test_hot_split_spread_duplicates_fall_back_to_argmax(spark, tmp_path):
     )
     st = eng.merge_batch(feed, epoch=0)
     assert st.plan == "argmax", st.plan
+
+
+def test_hot_split_never_broadcasts_unique_key_mega_conv(spark, tmp_path):
+    """Round-5 review finding #1: a mega-conversation backfill of
+    UNIQUE keys concentrates rows but not duplicates — its 'winners'
+    are its entire row set, so flagging it hot would broadcast past
+    broadcast_max_winners (OOM class). The probe must require
+    duplicate evidence (sampled rows >> sampled keys) and must respect
+    the winners bound; this batch falls back to shuffled argmax."""
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+
+    # one conversation, 30k rows, every (conv, turn) key unique, plus a
+    # sprinkle of genuine duplicates elsewhere so total_dups > 0
+    mega = [("conv-mega", i, "user", f"m{i}", None, None, "U", i, 0)
+            for i in range(30_000)]
+    dups = [(f"c{i % 50}", 0, "user", f"d{i}", None, None, "U", 30_000 + i, 0)
+            for i in range(2_000)]
+    batch = spark.createDataFrame(mega + dups, S.CHANGE_EVENT_SCHEMA)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=8)
+    eng = TranscriptMergeEngine(
+        tbl, num_buckets=8, merge_plan="adaptive", broadcast_max_winners=5_000,
+        dup_share_threshold=0.01,
+    )
+    st = eng.merge_batch(batch, epoch=0)
+    assert st.plan == "argmax", st.plan  # NOT hot_split, NOT broadcast

@@ -461,3 +461,43 @@ def test_mp3_parser_skips_id3_tags():
         C.parse_mp3(frames + b"\x00" * 7)  # non-ID3v1 trailer: desync
     with pytest.raises(ValueError, match="trailing bytes"):
         C.parse_mp3(frames + b"\x00" * 3)  # sub-header trailer still raises
+
+
+def test_shingle_oracle_parity_on_short_docs(spark):
+    """Round-5 review finding #6: Spark's word_shingles emits ONE short
+    shingle for 1-2-token documents (slice truncates); the DuckDB
+    oracles' shingle CTE must match exactly on those edge lengths or a
+    short doc in a future SF regeneration would hash-mismatch the now
+    value-adjudicated MinHash gate."""
+    import duckdb
+    import pandas as pd
+
+    from radiant_portal_pipeline_spark.text import dedup as D
+
+    texts = ["", "one", "one two", "one two three", "a b c d e"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_spark = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in D.word_shingles(docs, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)),
+                                            "text": texts}))
+    toks = ("LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'), "
+            "t -> t <> '')")
+    got_duck = sorted(
+        (int(a), b)
+        for a, b in con.execute(f"""
+            WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+            sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                RANGE(1, GREATEST(LEN(w) - 1, 2)),
+                i -> ARRAY_TO_STRING(w[i::INT:(i::INT + 2)], ' ')))) AS shingle
+            FROM d)
+            SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+        """).fetchall()
+    )
+    assert got_spark == got_duck
+    # the 1- and 2-token docs DO emit a (short) shingle on both sides
+    assert (1, "one") in got_spark and (2, "one two") in got_spark
