@@ -478,3 +478,36 @@ def cdc_quarantine_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("state_text_chars",
                       state.agg(F.sum(F.length("text")).alias("v"))))
     )
+
+
+def _wal_partitioned_oracle() -> str:
+    from radiant_portal_pipeline_spark.cdc.wal_source import wal_oracle_sql
+
+    return wal_oracle_sql(12_000)
+
+
+@query("cdc_wal_partitioned_state", oracle=_wal_partitioned_oracle())
+def cdc_wal_partitioned_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (round 5): the PARTITION-PARALLEL WAL source, externally
+    adjudicated. A 4-shard WAL of 12,000 change events (striped lsn
+    space, per-shard record offsets, executor-side range reads —
+    cdc/wal_partitioned.py, the full DataSourceStreamReader contract)
+    drains through the streaming merge loop; the DuckDB oracle
+    recomputes the final LWW state from the WAL arithmetic alone —
+    independent of every Spark code path. The source IS the generator,
+    so this query is sf-independent by construction (the other cdc_*
+    queries cover the sf-scaled events-table feed)."""
+    from radiant_portal_pipeline_spark.cdc.wal_partitioned import (
+        wal_partitioned_readstream,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_wp_")
+    tbl = TranscriptMergeEngine.create_table(spark, f"{work}/t", num_buckets=16)
+    engine = TranscriptMergeEngine(tbl, num_buckets=16)
+    run_cdc_stream(
+        spark, None, engine, f"{work}/ckpt",
+        source_df=wal_partitioned_readstream(
+            spark, n_events=12_000, n_shards=4, batch_size=1_000
+        ),
+    )
+    return engine.current_state().select("conv_id", "turn_idx", "text", "lsn")

@@ -70,6 +70,7 @@ GATE_ORDER = [
     # engine-portable hash family (previously adjudicated rows-only;
     # the oracle now value-checks them, so they re-enter as new)
     "cdc_quarantine_dead_letter",
+    "cdc_wal_partitioned_state",
     "t_minhash_lsh_dedup",  # oracle-backed since r5 (portable md5+LCG)
     "t_simhash_near_pairs",  # oracle-backed since r5 (portable md5 bits)
     # (2) least-recently adjudicated (ROTATED_OUT_R4 — green in r3,
@@ -122,11 +123,11 @@ GATE_ORDER = [
     "t_exact_dedup",
     "t_dedup_groups",
     "q36_jdbc_federation",
-    "q38_range_bin_join",
 ]
 
 # Round-5 cut (all green in CORRECTNESS_r04; rotate back next round).
 ROTATED_OUT_R5 = [
+    "q38_range_bin_join",
     "q39_interval_overlap_bin",
     "q03_anti_join_unseen",
     "q09_partial_final_rollup",
