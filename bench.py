@@ -251,6 +251,7 @@ def floor_probe(cpus: int, n_events: int) -> dict:
 def sustained(
     cpus: int, batch_events: int, n_batches: int, profile: str,
     merge_plan: str = "adaptive", overlap_compact: bool = False,
+    pace_sec: float = 0.0,
 ) -> dict:
     """Sustained replay: n_batches of batch_events each, per-batch wall
     times recorded (state growth / GC / write-amplification would show
@@ -310,6 +311,12 @@ def sustained(
         st = eng.merge_batch(spark.read.parquet(f"{feed_dir}/slice={b}"), epoch=b)
         per_batch.append(round(time.time() - t0, 2))
         plans.append(st.plan)
+        # pace_sec > 0 models a PACED stream (micro-batches arrive on a
+        # cadence, the cluster idles between them) — the regime the
+        # background fold is FOR: it spends the idle gap, not the
+        # apply's cores
+        if pace_sec > 0 and b < n_batches - 1:
+            time.sleep(max(0.0, pace_sec - (time.time() - t0)))
         # kick a background fold that overlaps the NEXT batch's apply;
         # after the LAST batch there is nothing left to hide behind, so
         # leave the residue to the (separately timed) final compact
@@ -335,6 +342,8 @@ def sustained(
         "per_batch_seconds": per_batch, "plans": plans,
         "compact_seconds": round(compact_s, 2), "final_rows": rows,
         "overlap_compact": overlap_compact,
+        "pace_sec": pace_sec,
+        "total_wall_seconds": round(apply_s + compact_s, 2),
     }
     if overlap_compact:
         out["bg_compact_runs"] = len(bg["times"])
@@ -524,6 +533,11 @@ def main() -> None:
         help="sustained replay profile: --batches x --events per batch",
     )
     ap.add_argument(
+        "--pace-sec", type=float, default=0.0,
+        help="sustained mode: minimum seconds per batch slot (paced-"
+             "stream model; idle gap = pace - apply time)",
+    )
+    ap.add_argument(
         "--overlap-compact", action="store_true",
         help="sustained mode: size-tiered concurrent-safe compaction in a "
              "background thread between applies (file-scoped rewrite commits)",
@@ -551,6 +565,7 @@ def main() -> None:
                 sustained(
                     args.cpus, args.events, args.batches, args.sustained,
                     args.merge_plan, overlap_compact=args.overlap_compact,
+                    pace_sec=args.pace_sec,
                 )
             )
         )
