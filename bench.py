@@ -517,8 +517,8 @@ def main() -> None:
     ap.add_argument(
         "--merge-plan", default="adaptive",
         choices=[
-            "adaptive", "argmax", "argmax_broadcast", "two_phase",
-            "single_exchange",
+            "adaptive", "argmax", "argmax_broadcast", "hot_split",
+            "append_only", "two_phase", "single_exchange",
         ],
     )
     ap.add_argument("--sink", default="table", choices=["table", "noop"])
