@@ -251,7 +251,7 @@ def floor_probe(cpus: int, n_events: int) -> dict:
 def sustained(
     cpus: int, batch_events: int, n_batches: int, profile: str,
     merge_plan: str = "adaptive", overlap_compact: bool = False,
-    pace_sec: float = 0.0,
+    pace_sec: float = 0.0, n_convs: int | None = None,
 ) -> dict:
     """Sustained replay: n_batches of batch_events each, per-batch wall
     times recorded (state growth / GC / write-amplification would show
@@ -279,7 +279,8 @@ def sustained(
         app_name=f"sustained_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
     )
-    n_convs = 9_973 if profile == "update" else 999_983
+    if n_convs is None:  # profile default; --n-convs overrides
+        n_convs = 9_973 if profile == "update" else 999_983
     total = batch_events * n_batches
     work = tempfile.mkdtemp(prefix="bench_sus_")
     feed_dir = _cached_feed_dir(spark, total, n_batches, 5, n_convs=n_convs)
@@ -327,27 +328,45 @@ def sustained(
         ):
             bg["thread"] = threading.Thread(target=_bg_compact, daemon=True)
             bg["thread"].start()
+    apply_s = time.time() - t_all  # the batch loop only
+    # the terminal background fold's residue is COMPACTION work, not
+    # apply work — charging it to apply_seconds skewed the overlap A/B
+    # (round-5 review); it is recorded separately and counted with the
+    # compaction side of every derived metric
+    bg_tail = 0.0
     if bg["thread"] is not None:
+        t_j = time.time()
         bg["thread"].join()
-    apply_s = time.time() - t_all
+        bg_tail = time.time() - t_j
     t1 = time.time()
     eng.compact(concurrent_safe=overlap_compact)
     compact_s = time.time() - t1
     rows = eng.current_state().count()
+    busy_s = sum(per_batch)
+    # with pace_sec > 0 the loop time includes idle arrival gaps, so
+    # events_per_sec is computed from the BUSY apply time (per-batch
+    # sum); unpaced runs keep the loop-wall definition (comparable
+    # with earlier rounds)
+    rate_base = busy_s if pace_sec > 0 else apply_s
     out = {
         "profile": profile, "cpus": cpus, "events": total,
         "batches": n_batches, "apply_seconds": round(apply_s, 2),
-        "events_per_sec": round(total / apply_s, 1),
-        "events_per_sec_incl_compact": round(total / (apply_s + compact_s), 1),
+        "busy_apply_seconds": round(busy_s, 2),
+        "events_per_sec": round(total / rate_base, 1),
+        "events_per_sec_incl_compact": round(
+            total / (apply_s + bg_tail + compact_s), 1
+        ),
         "per_batch_seconds": per_batch, "plans": plans,
         "compact_seconds": round(compact_s, 2), "final_rows": rows,
         "overlap_compact": overlap_compact,
         "pace_sec": pace_sec,
-        "total_wall_seconds": round(apply_s + compact_s, 2),
+        "n_convs": n_convs,
+        "total_wall_seconds": round(apply_s + bg_tail + compact_s, 2),
     }
     if overlap_compact:
         out["bg_compact_runs"] = len(bg["times"])
         out["bg_compact_seconds"] = bg["times"]
+        out["bg_tail_seconds"] = round(bg_tail, 2)
         out["bg_compact_errors"] = bg["errors"]
     return out
 
@@ -523,9 +542,10 @@ def main() -> None:
     )
     ap.add_argument("--sink", default="table", choices=["table", "noop"])
     ap.add_argument(
-        "--n-convs", type=int, default=9973,
+        "--n-convs", type=int, default=None,
         help="conversation-key cardinality of the synthetic feed "
-             "(9973 = update-heavy; 999983 = insert-heavy shape)",
+             "(merge-only default 9973; sustained derives from the "
+             "profile: update=9973, insert=999983)",
     )
     ap.add_argument("--floor-probe", action="store_true")
     ap.add_argument(
@@ -565,7 +585,7 @@ def main() -> None:
                 sustained(
                     args.cpus, args.events, args.batches, args.sustained,
                     args.merge_plan, overlap_compact=args.overlap_compact,
-                    pace_sec=args.pace_sec,
+                    pace_sec=args.pace_sec, n_convs=args.n_convs,
                 )
             )
         )
@@ -576,7 +596,8 @@ def main() -> None:
             json.dumps(
                 merge_only(
                     args.cpus, args.events, args.mode, args.merge_plan,
-                    args.hot_every, sink=args.sink, n_convs=args.n_convs,
+                    args.hot_every, sink=args.sink,
+                    n_convs=args.n_convs if args.n_convs else 9973,
                 )
             )
         )

@@ -651,9 +651,10 @@ class TranscriptMergeEngine:
                 plan=plan,
             )
             lineage_batch = prepared
-            if plan == "append_only" and self.lineage is not None:
+            if plan in ("append_only", "hot_split") and self.lineage is not None:
                 # lineage I/U/D counts are per KEY (LineageWriter.record
-                # contract) but append_only writes the UN-deduped batch;
+                # contract) but append_only writes the UN-deduped batch
+                # and hot_split writes a raw TAIL (round-5 review);
                 # fold a SLIM projection just for the metrics — key
                 # columns + lsn + tombstone, no payload, so the count
                 # pass stays cheap and the write path stays elided

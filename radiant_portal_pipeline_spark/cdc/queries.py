@@ -480,10 +480,16 @@ def cdc_quarantine_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE constant ties the gated WAL query to its oracle — editing the
+# event count in only one place would silently fail the gate on a
+# value-hash mismatch (round-5 review)
+_WAL_GATE_EVENTS = 12_000
+
+
 def _wal_partitioned_oracle() -> str:
     from radiant_portal_pipeline_spark.cdc.wal_source import wal_oracle_sql
 
-    return wal_oracle_sql(12_000)
+    return wal_oracle_sql(_WAL_GATE_EVENTS)
 
 
 @query("cdc_wal_partitioned_state", oracle=_wal_partitioned_oracle())
@@ -507,7 +513,7 @@ def cdc_wal_partitioned_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_cdc_stream(
         spark, None, engine, f"{work}/ckpt",
         source_df=wal_partitioned_readstream(
-            spark, n_events=12_000, n_shards=4, batch_size=1_000
+            spark, n_events=_WAL_GATE_EVENTS, n_shards=4, batch_size=1_000
         ),
     )
     return engine.current_state().select("conv_id", "turn_idx", "text", "lsn")

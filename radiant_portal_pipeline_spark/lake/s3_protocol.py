@@ -94,6 +94,11 @@ class S3ConditionalPutProtocol(CommitProtocol):
                     existing = self.client.get_object(
                         Bucket=self.bucket, Key=self._key(target)
                     )
+                    # the streaming body read can ALSO fail mid-
+                    # transfer — treat it as the same retryable
+                    # transport failure as the GET itself
+                    body = existing["Body"]
+                    got = body.read() if hasattr(body, "read") else body
                 except Exception as ge:  # noqa: BLE001
                     if _error_code(ge) in ("NoSuchKey", "404"):
                         # existed at PUT time, gone now: another
@@ -101,8 +106,6 @@ class S3ConditionalPutProtocol(CommitProtocol):
                         raise FileExistsError(target) from e
                     last_transport = ge
                     continue
-                body = existing["Body"]
-                got = body.read() if hasattr(body, "read") else body
                 if isinstance(got, str):
                     got = got.encode()
                 if got == payload:

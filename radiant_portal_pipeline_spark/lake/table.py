@@ -962,13 +962,16 @@ class LakeTable:
             layout_ready=layout_ready,
             stat_cols=snap0.properties.get("stats_cols"),
         )
+        # normalize BEFORE the unknown-partition check: _write_data_files
+        # returns directory-string keys, and callers may pass raw (e.g.
+        # int) partition values in `replace`
+        replace = {str(p): list(fs) for p, fs in replace.items()}
         unknown = set(new_files) - set(replace)
         if unknown:
             raise ValueError(
                 f"rewrite produced rows for partitions it did not read: "
                 f"{sorted(unknown)}"
             )
-        replace = {str(p): list(fs) for p, fs in replace.items()}
 
         if snap0.refs is not None:  # split layout
 

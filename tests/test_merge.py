@@ -850,3 +850,34 @@ def test_hot_split_never_broadcasts_unique_key_mega_conv(spark, tmp_path):
     )
     st = eng.merge_batch(batch, epoch=0)
     assert st.plan == "argmax", st.plan  # NOT hot_split, NOT broadcast
+
+
+def test_hot_split_lineage_counts_are_per_key(spark, tmp_path):
+    """Round-5 review: hot_split writes a raw tail, so lineage I/U/D
+    counts must come from the folded slim projection (same contract as
+    append_only) — a tail key updated twice in the batch counts once."""
+    from radiant_portal_pipeline_spark.cdc import schemas as S
+    from radiant_portal_pipeline_spark.cdc.lineage import LineageWriter
+
+    # hot conv: 2000 rows on 10 keys; tail: 400 keys, each key TWICE
+    rows = [("conv-hot", i % 10, "user", f"h{i}", None, None, "U", i, 0)
+            for i in range(2_000)]
+    rows += [(f"c{i % 400}", 99, "user", f"t{i}", None, None, "U", 2_000 + i, 0)
+             for i in range(800)]
+    batch = spark.createDataFrame(rows, S.CHANGE_EVENT_SCHEMA)
+    tbl = TranscriptMergeEngine.create_table(spark, str(tmp_path / "t"), num_buckets=4)
+    lineage = LineageWriter(spark, str(tmp_path / "lin"))
+    eng = TranscriptMergeEngine(
+        tbl, num_buckets=4, merge_plan="hot_split", lineage=lineage,
+    )
+    st = eng.merge_batch(batch, epoch=0)
+    assert st.plan == "hot_split"
+    rec = lineage.read().agg(
+        F.sum("rows_inserted").alias("ins"),
+        F.sum("rows_updated").alias("upd"),
+        F.sum("rows_deleted").alias("del_"),
+    ).head()
+    # per-KEY counts: 10 hot keys + 400 tail keys, all inserts into an
+    # empty table
+    assert rec["ins"] == 410, rec
+    assert (rec["upd"] or 0) == 0 and (rec["del_"] or 0) == 0, rec
