@@ -71,6 +71,7 @@ GATE_ORDER = [
     # the oracle now value-checks them, so they re-enter as new)
     "cdc_quarantine_dead_letter",
     "cdc_wal_partitioned_state",
+    "t_decontaminate",
     "t_minhash_lsh_dedup",  # oracle-backed since r5 (portable md5+LCG)
     "t_simhash_near_pairs",  # oracle-backed since r5 (portable md5 bits)
     # (2) least-recently adjudicated (ROTATED_OUT_R4 — green in r3,
@@ -118,7 +119,6 @@ GATE_ORDER = [
     "m_mp3_metadata",
     "m_codec_metadata",
     "s_cosine_vs_query",
-    "s_ann_topk",
     "s_lsh_vector_near_dup",
     "t_exact_dedup",
     "t_dedup_groups",
@@ -127,6 +127,7 @@ GATE_ORDER = [
 
 # Round-5 cut (all green in CORRECTNESS_r04; rotate back next round).
 ROTATED_OUT_R5 = [
+    "s_ann_topk",
     "q38_range_bin_join",
     "q39_interval_overlap_bin",
     "q03_anti_join_unseen",

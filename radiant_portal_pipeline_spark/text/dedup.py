@@ -501,3 +501,47 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ----------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag TRAINING documents whose k-word
+    shingle sets overlap an EVAL corpus (the n-gram test-set-leak
+    filter every large-scale training pipeline runs before a corpus
+    ships). Returns (doc_id, n_eval_shingle_hits, contaminated).
+
+    Scale shape: both sides shingle locally, the overlap is ONE
+    equi-join keyed on the shingle (never a cartesian) against the
+    DISTINCT eval shingle set, which is typically tiny relative to the
+    corpus (benchmarks are small) — Spark broadcasts it when under the
+    autoBroadcast threshold, so at 100 TB the training side streams
+    map-side with zero full shuffles. ``min_shared`` raises the
+    evidence bar (1 shared 3-shingle is the aggressive default;
+    real deployments use longer n-grams or higher counts)."""
+    train_sh = word_shingles(docs, k=k)
+    eval_sh = word_shingles(eval_docs, k=k).select("shingle").distinct()
+    hits = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_shingle_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_shingle_hits", F.lit(0)).cast("long").alias(
+                "n_eval_shingle_hits"
+            ),
+            (
+                F.coalesce("n_eval_shingle_hits", F.lit(0)) >= min_shared
+            ).alias("contaminated"),
+        )
+    )

@@ -400,3 +400,45 @@ def t_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_SHINGLE_CTE = f"""
+    d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    sh0 AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        RANGE(1, GREATEST(LEN(w) - 1, 2)),
+        i -> ARRAY_TO_STRING(w[i::INT:(i::INT + 2)], ' ')))) AS shingle
+      FROM d),
+    sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle <> '')
+"""
+
+
+@query(
+    "t_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_shingle_hits
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id)
+    SELECT t.doc_id,
+           COALESCE(h.n_eval_shingle_hits, 0) AS n_eval_shingle_hits,
+           COALESCE(h.n_eval_shingle_hits, 0) >= 1 AS contaminated
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (new in round 5): every large-scale
+    training pipeline's test-set-leak filter — training documents
+    sharing any word-3-shingle with the eval corpus (here the
+    deterministic doc_id%97==0 subset) are flagged with their hit
+    count. One shingle-keyed equi-join against the distinct eval
+    shingle set (broadcastable — benchmarks are small), never a
+    cartesian (text/dedup.py decontaminate)."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(train, ev, k=3, min_shared=1)

@@ -501,3 +501,30 @@ def test_shingle_oracle_parity_on_short_docs(spark):
     assert got_spark == got_duck
     # the 1- and 2-token docs DO emit a (short) shingle on both sides
     assert (1, "one") in got_spark and (2, "one two") in got_spark
+
+
+def test_decontaminate_flags_overlap_and_spares_clean_docs(spark):
+    """Decontamination contract on a constructed corpus: a training doc
+    sharing a 3-shingle with the eval set is flagged with the right hit
+    count; a clean doc is not; short docs behave."""
+    from radiant_portal_pipeline_spark.text.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox ran away"),  # shares 2 shingles
+            (2, "completely different words here"),  # clean
+            (3, "quick brown"),  # short doc, shingle 'quick brown' != any 3-shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_eval_shingle_hits"], r["contaminated"])
+        for r in decontaminate(train, eval_docs, k=3).collect()
+    }
+    # eval shingles: {the quick brown, quick brown fox, brown fox jumps}
+    assert got[1] == (2, True), got  # 'the quick brown', 'quick brown fox'
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
