@@ -881,3 +881,41 @@ def test_hot_split_lineage_counts_are_per_key(spark, tmp_path):
     # empty table
     assert rec["ins"] == 410, rec
     assert (rec["upd"] or 0) == 0 and (rec["del_"] or 0) == 0, rec
+
+
+def test_hot_split_sticky_reuses_conv_list_and_stays_correct(spark, tmp_path):
+    """Sticky hot_split (estimate_every>1) replays both the plan AND
+    the probed conversation list; results must stay equal to a fresh
+    per-batch estimate (stale heavy lists are correct-by-construction:
+    unlisted heavy convs just append raw under MoR)."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    feed = synthetic_feed(
+        spark, 40_000, n_convs=12_007, dup_frac=0.03, hot_every=5
+    ).localCheckpoint(eager=True)
+
+    def replay(name, **kw):
+        tbl = TranscriptMergeEngine.create_table(
+            spark, str(tmp_path / name), num_buckets=8
+        )
+        eng = TranscriptMergeEngine(
+            tbl, num_buckets=8, merge_plan="adaptive",
+            broadcast_max_winners=15_000, dup_share_threshold=0.01, **kw
+        )
+        stats = []
+        for e in range(2):
+            stats.append(
+                eng.merge_batch(feed.filter(F.col("commit_epoch") % 2 == e), epoch=e)
+            )
+        return eng, stats
+
+    fresh, fresh_stats = replay("fresh")
+    sticky, sticky_stats = replay("sticky", estimate_every=4)
+    assert all(s.plan == "hot_split" for s in fresh_stats + sticky_stats), (
+        [s.plan for s in fresh_stats + sticky_stats]
+    )
+    want = sorted(map(tuple, fresh.current_state().collect()))
+    assert sorted(map(tuple, sticky.current_state().collect())) == want
+    assert len(want) > 0
