@@ -75,7 +75,8 @@ HEADLINE = [
 
 
 def _cached_feed_dir(
-    spark, n_events: int, n_batches: int, hot_every: int, n_convs: int = 9973
+    spark, n_events: int, n_batches: int, hot_every: int, n_convs: int = 9973,
+    bucket_by: int | None = None,
 ) -> str:
     """The synthetic feed is DETERMINISTIC in its parameters, and the
     official protocol regenerates the identical ~GBs in every
@@ -101,6 +102,7 @@ def _cached_feed_dir(
     cache = (
         f"/tmp/bench_feed_cache/ev{n_events}_b{n_batches}"
         f"_hot{hot_every}_nc{n_convs}_{feed_src}"
+        + (f"_bk{bucket_by}" if bucket_by else "")
     )
     if os.path.isdir(cache):
         return cache
@@ -108,6 +110,15 @@ def _cached_feed_dir(
     feed = synthetic_feed(
         spark, n_events, n_convs=n_convs, hot_every=hot_every
     ).withColumn("slice", (F.col("lsn") * n_batches / n_events).cast("int"))
+    if bucket_by:
+        # model a feed KEYED BY CONVERSATION (Kafka partitioned on
+        # conv_id): files within each slice are bucket-clustered, so
+        # the reader's tasks arrive pre-bucketed and the merge can run
+        # source_bucketed=True (zero full-row exchanges)
+        feed = feed.repartition(
+            bucket_by,
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(bucket_by)),
+        )
     feed.write.partitionBy("slice").mode("overwrite").parquet(staged)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     try:
@@ -120,7 +131,7 @@ def _cached_feed_dir(
 def _merge_replay_seconds(
     spark, n_events: int, mode: str, merge_plan: str = "adaptive",
     hot_every: int = 5, buckets: int | None = None, sink: str = "table",
-    n_convs: int = 9973,
+    n_convs: int = 9973, source_bucketed: bool = False,
 ) -> dict:
     """Apply a synthetic feed in MERGE_BATCHES epoch slices; wall time.
     MoR additionally times a final compaction + state materialization."""
@@ -136,8 +147,12 @@ def _merge_replay_seconds(
     # charge every batch a full-feed scan (and charge plans that read
     # the batch twice, like argmax's slim winners pass, a full-feed
     # DESERIALIZE where a columnar source reads three thin columns).
+    nb0 = buckets if buckets is not None else merge_buckets(
+        spark.sparkContext.defaultParallelism
+    )
     feed_dir = _cached_feed_dir(
-        spark, n_events, MERGE_BATCHES, hot_every, n_convs=n_convs
+        spark, n_events, MERGE_BATCHES, hot_every, n_convs=n_convs,
+        bucket_by=nb0 if source_bucketed else None,
     )
     batches = [
         spark.read.parquet(f"{feed_dir}/slice={b}") for b in range(MERGE_BATCHES)
@@ -170,7 +185,7 @@ def _merge_replay_seconds(
         return {"apply_seconds": time.time() - t0, "compact_seconds": 0.0}
     t0 = time.time()
     for b, batch in enumerate(batches):
-        engine.merge_batch(batch, epoch=b)
+        engine.merge_batch(batch, epoch=b, source_bucketed=source_bucketed)
     apply_s = time.time() - t0
     t1 = time.time()
     engine.compact()
@@ -374,6 +389,7 @@ def sustained(
 def merge_only(
     cpus: int, n_events: int, mode: str, merge_plan: str = "adaptive",
     hot_every: int = 5, sink: str = "table", n_convs: int = 9973,
+    source_bucketed: bool = False,
 ) -> dict:
     from radiant_portal_pipeline_spark.session import get_spark
 
@@ -385,12 +401,13 @@ def merge_only(
         shuffle_partitions=2 * cpus,
     )
     rec = _merge_replay_seconds(
-        spark, n_events, mode, merge_plan, hot_every, sink=sink, n_convs=n_convs,
+        spark, n_events, mode, merge_plan, hot_every, sink=sink,
+        n_convs=n_convs, source_bucketed=source_bucketed,
     )
     rec.update({"seconds": rec["apply_seconds"], "events": n_events, "cpus": cpus,
                 "mode": mode, "merge_plan": merge_plan, "hot_every": hot_every,
                 "buckets": merge_buckets(cpus), "sink": sink,
-                "n_convs": n_convs})
+                "n_convs": n_convs, "source_bucketed": source_bucketed})
     return rec
 
 
@@ -542,6 +559,11 @@ def main() -> None:
     )
     ap.add_argument("--sink", default="table", choices=["table", "noop"])
     ap.add_argument(
+        "--source-bucketed", action="store_true",
+        help="merge-only: feed files bucket-clustered (keyed source "
+             "model) + engine layout-exchange elision",
+    )
+    ap.add_argument(
         "--n-convs", type=int, default=None,
         help="conversation-key cardinality of the synthetic feed "
              "(merge-only default 9973; sustained derives from the "
@@ -598,6 +620,7 @@ def main() -> None:
                     args.cpus, args.events, args.mode, args.merge_plan,
                     args.hot_every, sink=args.sink,
                     n_convs=args.n_convs if args.n_convs else 9973,
+                    source_bucketed=args.source_bucketed,
                 )
             )
         )

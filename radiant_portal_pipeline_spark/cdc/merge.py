@@ -471,7 +471,8 @@ class TranscriptMergeEngine:
         )
 
     def _dedup_and_layout(
-        self, df: DataFrame, keys, order_cols, plan: str | None = None
+        self, df: DataFrame, keys, order_cols, plan: str | None = None,
+        source_bucketed: bool = False,
     ) -> DataFrame:
         """LWW + write layout, per ``merge_plan``.
 
@@ -513,6 +514,8 @@ class TranscriptMergeEngine:
         if plan == "append_only":
             # write-path dedup elided (insert-dominant batch, MoR):
             # read-side LWW resolves any duplicates; compact() folds
+            if source_bucketed:
+                return df  # see merge_batch(source_bucketed=True)
             return df.repartition(self.num_buckets, F.col(S.PART_COL))
         if plan == "hot_split":
             # the concentrated-duplicates insert shape: dedup ONLY the
@@ -542,6 +545,8 @@ class TranscriptMergeEngine:
             if not convs:
                 # no concentrated conversations found — degenerate to
                 # the pure append (read-side LWW still correct)
+                if source_bucketed:
+                    return df
                 return df.repartition(self.num_buckets, F.col(S.PART_COL))
             conv = self.key_cols[0]
             is_hot = F.coalesce(F.col(conv).isin(convs), F.lit(False))
@@ -553,6 +558,8 @@ class TranscriptMergeEngine:
             out = winners.select(*df.columns).unionByName(
                 tail.select(*df.columns)
             )
+            if source_bucketed:
+                return out
             return out.repartition(self.num_buckets, F.col(S.PART_COL))
         if plan in ("argmax", "argmax_broadcast"):
             from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
@@ -570,6 +577,12 @@ class TranscriptMergeEngine:
             rows = argmax_winner_rows(
                 df, keys, order_cols[0], broadcast=(plan == "argmax_broadcast")
             )
+            if source_bucketed and plan == "argmax_broadcast":
+                # the broadcast join preserved the source's bucket
+                # clustering (no exchange since the scan), so the
+                # dropDuplicates aggregation is the only exchange left;
+                # it carries the already-deduped winners
+                return rows.dropDuplicates().select(*df.columns)
             laid = rows.repartition(self.num_buckets, F.col(S.PART_COL))
             return laid.dropDuplicates().select(*df.columns)
         # legacy topologies: "no_argmax" resolves to max_struct for
@@ -582,7 +595,9 @@ class TranscriptMergeEngine:
         deduped = lww_dedup(df, keys, order_cols, via="no_argmax")
         return deduped.repartition(self.num_buckets, F.col(S.PART_COL))
 
-    def _prepare_batch(self, batch: DataFrame) -> tuple[DataFrame, str, str]:
+    def _prepare_batch(
+        self, batch: DataFrame, source_bucketed: bool = False
+    ) -> tuple[DataFrame, str, str]:
         """LWW-dedup the batch, fold op -> tombstone flag, add bucket,
         lay out for the partitioned write (see _dedup_and_layout).
         Returns (prepared, plan, reason) — plan is the resolved
@@ -619,11 +634,24 @@ class TranscriptMergeEngine:
         if plan == "adaptive":
             plan, reason = self._choose_plan(slim)
         deduped = self._dedup_and_layout(
-            slim, [S.PART_COL, *self.key_cols], [self.lsn_col], plan=plan
+            slim, [S.PART_COL, *self.key_cols], [self.lsn_col], plan=plan,
+            source_bucketed=source_bucketed,
         )
         return deduped, plan, reason
 
-    def merge_batch(self, batch: DataFrame, epoch: int) -> MergeStats:
+    def merge_batch(
+        self, batch: DataFrame, epoch: int, source_bucketed: bool = False
+    ) -> MergeStats:
+        """Apply one micro-batch. ``source_bucketed=True`` declares that
+        the batch's Spark partitions are already clustered by the
+        engine's bucket hash (a feed KEYED BY CONVERSATION — Kafka
+        partitioned on conv_id, or per-bucket feed files): the layout
+        repartition — the only full-row exchange of the broadcast/
+        append/hot_split plans — is then elided, so those plans run
+        ZERO full-row exchanges end to end. A wrong declaration can
+        never corrupt data (the bucket COLUMN, not the exchange,
+        decides file placement); it only costs small files (each task
+        writes one file per bucket value it holds). MoR only."""
         t0 = time.time()
         snap = self.table.snapshot()
         if snap.applied.get(self.source_id, -1) >= epoch:
@@ -631,7 +659,13 @@ class TranscriptMergeEngine:
 
         if self.quarantine is not None:
             batch = self._split_quarantine(batch, epoch)
-        prepared, plan, plan_reason = self._prepare_batch(batch)
+        if source_bucketed and self.mode != "mor":
+            # CoW unions the batch with existing bucket files read back
+            # from the table — the declared clustering is lost there
+            raise ValueError("source_bucketed applies to MoR merges only")
+        prepared, plan, plan_reason = self._prepare_batch(
+            batch, source_bucketed=source_bucketed
+        )
         lineage_checkpointed = self.lineage is not None
         if lineage_checkpointed:
             prepared = prepared.localCheckpoint(eager=True)

@@ -919,3 +919,53 @@ def test_hot_split_sticky_reuses_conv_list_and_stays_correct(spark, tmp_path):
     want = sorted(map(tuple, fresh.current_state().collect()))
     assert sorted(map(tuple, sticky.current_state().collect())) == want
     assert len(want) > 0
+
+
+def test_source_bucketed_elides_layout_exchange_and_stays_equal(spark, tmp_path):
+    """A feed KEYED BY CONVERSATION (Kafka-style): declaring
+    source_bucketed=True elides the layout repartition. Results must
+    equal the default path for every elision-eligible plan, files stay
+    one-per-bucket when the declaration is true, and a FALSE
+    declaration degrades to small files, never wrong data."""
+    from pyspark.sql import functions as F
+
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.merge import part_expr
+
+    feed = synthetic_feed(spark, 30_000, n_convs=97, dup_frac=0.05)
+    # model the keyed source: partitions clustered by the bucket hash
+    keyed = feed.repartition(8, part_expr("conv_id", 8)).localCheckpoint(
+        eager=True
+    )
+
+    def replay(plan, name, source_bucketed, batch):
+        tbl = TranscriptMergeEngine.create_table(
+            spark, str(tmp_path / name), num_buckets=8
+        )
+        eng = TranscriptMergeEngine(tbl, num_buckets=8, merge_plan=plan)
+        eng.merge_batch(batch, epoch=0, source_bucketed=source_bucketed)
+        return eng
+
+    base = replay("argmax_broadcast", "base", False, keyed)
+    want = sorted(map(tuple, base.current_state().collect()))
+    for plan in ("argmax_broadcast", "append_only"):
+        eng = replay(plan, f"sb_{plan}", True, keyed)
+        assert sorted(map(tuple, eng.current_state().collect())) == want
+        files = eng.table.snapshot().files
+        assert max(len(fs) for fs in files.values()) <= 2, {
+            p: len(fs) for p, fs in files.items()
+        }
+
+    # FALSE declaration (unclustered batch): data still correct
+    lying = replay("append_only", "lying", True, feed.localCheckpoint(eager=True))
+    assert sorted(map(tuple, lying.current_state().collect())) == want
+
+    # CoW refuses the declaration
+    tbl = TranscriptMergeEngine.create_table(
+        spark, str(tmp_path / "cow"), num_buckets=8
+    )
+    eng = TranscriptMergeEngine(tbl, num_buckets=8, mode="cow")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="MoR"):
+        eng.merge_batch(keyed, epoch=0, source_bucketed=True)
