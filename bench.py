@@ -267,6 +267,7 @@ def sustained(
     cpus: int, batch_events: int, n_batches: int, profile: str,
     merge_plan: str = "adaptive", overlap_compact: bool = False,
     pace_sec: float = 0.0, n_convs: int | None = None,
+    source_bucketed: bool = False,
 ) -> dict:
     """Sustained replay: n_batches of batch_events each, per-batch wall
     times recorded (state growth / GC / write-amplification would show
@@ -298,8 +299,11 @@ def sustained(
         n_convs = 9_973 if profile == "update" else 999_983
     total = batch_events * n_batches
     work = tempfile.mkdtemp(prefix="bench_sus_")
-    feed_dir = _cached_feed_dir(spark, total, n_batches, 5, n_convs=n_convs)
     nb = merge_buckets(cpus)
+    feed_dir = _cached_feed_dir(
+        spark, total, n_batches, 5, n_convs=n_convs,
+        bucket_by=nb if source_bucketed else None,
+    )
     warm_tbl = TranscriptMergeEngine.create_table(
         spark, f"{work}/warm", num_buckets=nb
     )
@@ -324,7 +328,10 @@ def sustained(
     t_all = time.time()
     for b in range(n_batches):
         t0 = time.time()
-        st = eng.merge_batch(spark.read.parquet(f"{feed_dir}/slice={b}"), epoch=b)
+        st = eng.merge_batch(
+            spark.read.parquet(f"{feed_dir}/slice={b}"), epoch=b,
+            source_bucketed=source_bucketed,
+        )
         per_batch.append(round(time.time() - t0, 2))
         plans.append(st.plan)
         # pace_sec > 0 models a PACED stream (micro-batches arrive on a
@@ -376,6 +383,7 @@ def sustained(
         "overlap_compact": overlap_compact,
         "pace_sec": pace_sec,
         "n_convs": n_convs,
+        "source_bucketed": source_bucketed,
         "total_wall_seconds": round(apply_s + bg_tail + compact_s, 2),
     }
     if overlap_compact:
@@ -608,6 +616,7 @@ def main() -> None:
                     args.cpus, args.events, args.batches, args.sustained,
                     args.merge_plan, overlap_compact=args.overlap_compact,
                     pace_sec=args.pace_sec, n_convs=args.n_convs,
+                    source_bucketed=args.source_bucketed,
                 )
             )
         )

@@ -555,11 +555,18 @@ class TranscriptMergeEngine:
             winners = argmax_winner_rows(
                 heavy, keys, order_cols[0], broadcast=True
             ).dropDuplicates()
+            if source_bucketed:
+                # tail keeps the declared clustering (no exchange); the
+                # WINNERS side is a few hundred rows spread over the
+                # dropDuplicates exchange's partitions — repartition
+                # only that tiny side by bucket so it doesn't fragment
+                # the write into per-task-per-bucket files
+                return winners.select(*df.columns).repartition(
+                    self.num_buckets, F.col(S.PART_COL)
+                ).unionByName(tail.select(*df.columns))
             out = winners.select(*df.columns).unionByName(
                 tail.select(*df.columns)
             )
-            if source_bucketed:
-                return out
             return out.repartition(self.num_buckets, F.col(S.PART_COL))
         if plan in ("argmax", "argmax_broadcast"):
             from radiant_portal_pipeline_spark.cdc.dedup import argmax_winner_rows
@@ -578,11 +585,17 @@ class TranscriptMergeEngine:
                 df, keys, order_cols[0], broadcast=(plan == "argmax_broadcast")
             )
             if source_bucketed and plan == "argmax_broadcast":
-                # the broadcast join preserved the source's bucket
-                # clustering (no exchange since the scan), so the
-                # dropDuplicates aggregation is the only exchange left;
-                # it carries the already-deduped winners
-                return rows.dropDuplicates().select(*df.columns)
+                # TRULY zero full-row exchanges: the broadcast join
+                # preserved the source's bucket clustering, and the
+                # verbatim-replay distinct is ALSO elided — under MoR
+                # it bounds storage, not correctness (identical copies
+                # of a winner are read-side-LWW'd away, exactly the
+                # append_only argument), and keeping it would insert an
+                # all-columns shuffle that destroys the clustering the
+                # caller declared (measured: 512 mixed files/batch and
+                # linearly growing manifest churn). compact() folds the
+                # rare verbatim copies.
+                return rows.select(*df.columns)
             laid = rows.repartition(self.num_buckets, F.col(S.PART_COL))
             return laid.dropDuplicates().select(*df.columns)
         # legacy topologies: "no_argmax" resolves to max_struct for
