@@ -93,6 +93,7 @@ def _cached_feed_dir(
 
     from radiant_portal_pipeline_spark.cdc import feed as feed_mod
     from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+    from radiant_portal_pipeline_spark.cdc.merge import part_expr
 
     # salt the key with the generator SOURCE: a logic change in
     # synthetic_feed must invalidate the cache, or later rounds would
@@ -114,11 +115,10 @@ def _cached_feed_dir(
         # model a feed KEYED BY CONVERSATION (Kafka partitioned on
         # conv_id): files within each slice are bucket-clustered, so
         # the reader's tasks arrive pre-bucketed and the merge can run
-        # source_bucketed=True (zero full-row exchanges)
-        feed = feed.repartition(
-            bucket_by,
-            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(bucket_by)),
-        )
+        # source_bucketed=True (zero full-row exchanges). Uses the
+        # ENGINE's own part_expr — an inline copy of the hash could
+        # silently drift from the bucket column and void the elision
+        feed = feed.repartition(bucket_by, part_expr("conv_id", bucket_by))
     feed.write.partitionBy("slice").mode("overwrite").parquet(staged)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     try:
@@ -137,7 +137,10 @@ def _merge_replay_seconds(
     MoR additionally times a final compaction + state materialization."""
     from pyspark.sql import functions as F
 
-    from radiant_portal_pipeline_spark.cdc.merge import TranscriptMergeEngine
+    from radiant_portal_pipeline_spark.cdc.merge import (
+        TranscriptMergeEngine,
+        part_expr,
+    )
 
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     # Materialize each micro-batch as its OWN parquet dir (datagen and
@@ -159,9 +162,7 @@ def _merge_replay_seconds(
     ]
 
     # JIT/codegen warmup on a throwaway table (excluded from timing)
-    nb = buckets if buckets is not None else merge_buckets(
-        spark.sparkContext.defaultParallelism
-    )
+    nb = nb0  # single derivation — must equal the feed's bucket_by
     warm_tbl = TranscriptMergeEngine.create_table(spark, f"{work}/warm", num_buckets=nb)
     warm = TranscriptMergeEngine(
         warm_tbl, num_buckets=nb, mode=mode, merge_plan=merge_plan
@@ -180,7 +181,9 @@ def _merge_replay_seconds(
         # write-side engineering could recover on this hardware
         t0 = time.time()
         for b, batch in enumerate(batches):
-            prepared, _, _ = engine._prepare_batch(batch)
+            prepared, _, _ = engine._prepare_batch(
+                batch, source_bucketed=source_bucketed
+            )
             prepared.write.format("noop").mode("overwrite").save()
         return {"apply_seconds": time.time() - t0, "compact_seconds": 0.0}
     t0 = time.time()
@@ -375,8 +378,10 @@ def sustained(
         "batches": n_batches, "apply_seconds": round(apply_s, 2),
         "busy_apply_seconds": round(busy_s, 2),
         "events_per_sec": round(total / rate_base, 1),
+        # same base as events_per_sec (busy time when paced — idle
+        # arrival gaps are not a compaction cost) + the fold residue
         "events_per_sec_incl_compact": round(
-            total / (apply_s + bg_tail + compact_s), 1
+            total / (rate_base + bg_tail + compact_s), 1
         ),
         "per_batch_seconds": per_batch, "plans": plans,
         "compact_seconds": round(compact_s, 2), "final_rows": rows,

@@ -698,7 +698,10 @@ class TranscriptMergeEngine:
                 plan=plan,
             )
             lineage_batch = prepared
-            if plan in ("append_only", "hot_split") and self.lineage is not None:
+            writes_undeduped = plan in ("append_only", "hot_split") or (
+                source_bucketed and plan == "argmax_broadcast"
+            )
+            if writes_undeduped and self.lineage is not None:
                 # lineage I/U/D counts are per KEY (LineageWriter.record
                 # contract) but append_only writes the UN-deduped batch
                 # and hot_split writes a raw TAIL (round-5 review);

@@ -948,7 +948,11 @@ def test_source_bucketed_elides_layout_exchange_and_stays_equal(spark, tmp_path)
 
     base = replay("argmax_broadcast", "base", False, keyed)
     want = sorted(map(tuple, base.current_state().collect()))
-    for plan in ("argmax_broadcast", "append_only"):
+    # hot_split included: its bespoke bucketed branch (winners-side
+    # repartition + raw-tail union) must also be clustering-preserving
+    # and result-equal (round-5 review #4). The 20%-hot feed triggers
+    # the static probe (conv-hot carries ~6k of 30k rows).
+    for plan in ("argmax_broadcast", "append_only", "hot_split"):
         eng = replay(plan, f"sb_{plan}", True, keyed)
         assert sorted(map(tuple, eng.current_state().collect())) == want
         files = eng.table.snapshot().files
