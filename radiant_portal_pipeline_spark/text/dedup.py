@@ -27,15 +27,23 @@ from radiant_portal_pipeline_spark.text.analysis import ws_tokens
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles per document."""
-    toks = ws_tokens(F.col(text_col))
+    """(doc_id, shingle) — distinct k-word shingles per document.
+
+    The tokenizer is materialized into a real column FIRST: referencing
+    the split expression inside the ``transform`` lambda would inline it
+    into every per-index evaluation — O(tokens^2) regex splits per
+    document (measured 5x+ on the whole shingle pass, guide §1/§2.3:
+    the per-row work, not the plan shape, was the cost)."""
+    toks = F.col("_toks")
     shingle_arr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return df.select(
-        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
-    ).filter(F.col("shingle") != "")
+    return (
+        df.select("doc_id", ws_tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
 
 
 def _capped_shingles(
@@ -297,19 +305,36 @@ def _md5_int48(col):
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
-def _portable_minhash_expr(i: int):
-    a, b = portable_coeffs(i)
-    r = F.pmod(_md5_int48(F.col("shingle")), F.lit(PORTABLE_M))
-    return F.pmod(F.lit(a) * r + F.lit(b), F.lit(PORTABLE_M))
+def _sig_input(sh: DataFrame, hash_family: str) -> DataFrame:
+    """Project the per-row hash basis ONCE before the signature
+    aggregation. The md5lcg family derives all N_HASHES permutations
+    from one 48-bit md5 residue; leaving ``_md5_int48(shingle)`` inside
+    each min() made the aggregate evaluate the md5+conv 32x per posting
+    row (visible as 32 copies in the plan's partial_min list — guide
+    §1.2 'per-task work'). xxhash64 seeds genuinely differ per i and
+    are cheap, so that family keeps the raw shingle."""
+    if hash_family == "md5lcg":
+        return sh.select(
+            "doc_id",
+            F.pmod(_md5_int48(F.col("shingle")), F.lit(PORTABLE_M)).alias("_r"),
+        )
+    return sh.select("doc_id", "shingle")
 
 
 def _min_exprs(hash_family: str) -> list:
     """The ONE definition of the per-seed min-hash aggregates for both
     signature builders — the adjudicated query and the library path
-    must never drift (round-5 review)."""
+    must never drift (round-5 review). Operates on the ``_sig_input``
+    projection of the postings."""
     if hash_family == "md5lcg":
         return [
-            F.min(_portable_minhash_expr(i)).alias(f"h{i}")
+            F.min(
+                F.pmod(
+                    F.lit(portable_coeffs(i)[0]) * F.col("_r")
+                    + F.lit(portable_coeffs(i)[1]),
+                    F.lit(PORTABLE_M),
+                )
+            ).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     return [
@@ -325,7 +350,9 @@ def minhash_signatures(
     seed-i permutation = xxhash64(shingle, seed_i) (default) or the
     engine-portable md5+LCG family; min per seed."""
     sh = word_shingles(docs, k=k)
-    sig = sh.groupBy("doc_id").agg(*_min_exprs(hash_family))
+    sig = _sig_input(sh, hash_family).groupBy("doc_id").agg(
+        *_min_exprs(hash_family)
+    )
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
@@ -392,7 +419,9 @@ def minhash_lsh_dedup(
     IDENTICAL signatures, bands and candidates (round-4 verdict
     'what's missing' #3); the default stays xxhash64."""
     sh = word_shingles(docs, k=k).localCheckpoint(eager=True)  # single-pass: local cut is fine
-    sigs = sh.groupBy("doc_id").agg(*_min_exprs(hash_family)).select(
+    sigs = _sig_input(sh, hash_family).groupBy("doc_id").agg(
+        *_min_exprs(hash_family)
+    ).select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
     cands = lsh_candidate_pairs(sigs, hash_family=hash_family)
