@@ -67,12 +67,66 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k by cosine vs one query vector. Deterministic ordering:
     (rounded cosine desc, id asc)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = vectors.select(
-        F.col(id_col),
-        cosine_q(quantized(F.col(vec_col)), quantized(q)).alias("cosine"),
+    # query side pre-quantized once (bit-exact, in-engine) and the row
+    # side materialized once — same rationale as assign_ivf_buckets
+    (_, qq, qn), = quantize_centroids(vectors.sparkSession, [(0, list(query_vec))])
+    scored = (
+        vectors.select(F.col(id_col), quantized(F.col(vec_col)).alias("_qv"))
+        .withColumn("_nrm", norm_d(F.col("_qv")))
+        .select(
+            F.col(id_col),
+            cosine_from_parts(
+                dot_q(F.col("_qv"), F.array(*[F.lit(int(x)) for x in qq])),
+                F.col("_nrm"),
+                F.lit(float(qn)),
+            ).alias("cosine"),
+        )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def quantize_py(vec: list[float]) -> list[int]:
+    """Driver-side twin of ``quantized`` with BIT-EXACT Spark ROUND
+    semantics: Spark's Round(double, 0) is
+    BigDecimal.valueOf(d).setScale(0, HALF_UP), and BigDecimal.valueOf
+    goes through Double.toString — the shortest decimal representation,
+    which is exactly Python's repr(float). So
+    Decimal(repr(d)).quantize(1, ROUND_HALF_UP) reproduces the same
+    integer for every double (parity asserted over the whole embeddings
+    corpus in tests). Used for the constant (query/centroid) side so
+    hot paths don't pay a Spark job per quantization."""
+    import decimal
+
+    one = decimal.Decimal(1)
+    out = []
+    for v in vec:
+        d = float(v) * SCALE  # same IEEE double product as the column expr
+        out.append(
+            int(
+                decimal.Decimal(repr(d)).quantize(
+                    one, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        )
+    return out
+
+
+def quantize_centroids(
+    spark, centroids: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[int], float]]:
+    """(centroid_id, quantized ints, float norm), driver-side. The
+    norm is math.sqrt over the exact integer squared norm — ints stay
+    below 2^53 for unit-scale 64-dim embeddings, so the double
+    conversion and sqrt are IEEE-identical to Spark's
+    SQRT(CAST(.. AS DOUBLE)). ``spark`` is unused (kept for call-site
+    stability)."""
+    import math
+
+    out = []
+    for cid, vec in centroids:
+        q = quantize_py(list(vec))
+        out.append((int(cid), q, math.sqrt(float(sum(x * x for x in q)))))
+    return out
 
 
 def assign_ivf_buckets(
@@ -83,24 +137,39 @@ def assign_ivf_buckets(
 ) -> DataFrame:
     """IVF bucket assignment: argmax cosine over a broadcast list of
     centroids, computed per-row (no shuffle). ``centroids`` is
-    [(centroid_id, vector), ...]."""
+    [(centroid_id, vector), ...].
+
+    The row vector is quantized and normed ONCE into real columns and
+    the centroid side is pre-quantized (quantize_centroids): inlining
+    ``cosine_q(quantized(col), quantized(lit))`` per centroid
+    re-evaluated the row-side transform+norm C times per row and the
+    centroid-side quantization was not constant-folded (HOFs are not
+    foldable) — measured as the dominant cost of the index build."""
+    qcents = quantize_centroids(vectors.sparkSession, centroids)
     # struct comparison is field-order lexicographic → (sim, -cid) so
     # array_max picks highest sim, lowest centroid id on ties
     qcols = [
         F.struct(
-            cosine_q(
-                quantized(F.col(vec_col)),
-                quantized(F.array(*[F.lit(float(v)) for v in vec])),
+            cosine_from_parts(
+                dot_q(F.col("_qv"), F.array(*[F.lit(int(q)) for q in qv])),
+                F.col("_nrm"),
+                F.lit(float(nb)),
             ).alias("sim"),
             F.lit(-cid).alias("neg_cid"),
         )
-        for cid, vec in centroids
+        for cid, qv, nb in qcents
     ]
     best = F.array_max(F.array(*qcols))
-    return vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        (-best["neg_cid"]).cast("int").alias("bucket"),
+    return (
+        vectors.select(
+            F.col(id_col), F.col(vec_col), quantized(F.col(vec_col)).alias("_qv")
+        )
+        .withColumn("_nrm", norm_d(F.col("_qv")))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["neg_cid"]).cast("int").alias("bucket"),
+        )
     )
 
 

@@ -66,23 +66,36 @@ def train_kmeans(
     for _ in range(iters):
         assigned = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
         # quality: mean cosine similarity to the assigned centroid
-        from radiant_portal_pipeline_spark.sim.ann import cosine_q, quantized
+        from radiant_portal_pipeline_spark.sim.ann import (
+            cosine_from_parts,
+            dot_q,
+            norm_d,
+            quantize_centroids,
+            quantized,
+        )
 
         # score rows against their own centroid via a join-free trick:
-        # recompute best-sim (same argmax the assignment used)
+        # recompute best-sim (same argmax the assignment used) — with
+        # the row-side quantization/norm materialized once and the
+        # centroid side pre-quantized, as in assign_ivf_buckets
+        qcents = quantize_centroids(vectors.sparkSession, centroids)
         qcols = [
             F.struct(
-                cosine_q(
-                    quantized(F.col(vec_col)),
-                    quantized(F.array(*[F.lit(float(v)) for v in vec])),
+                cosine_from_parts(
+                    dot_q(F.col("_qv"), F.array(*[F.lit(int(q)) for q in qv])),
+                    F.col("_nrm"),
+                    F.lit(float(nb)),
                 ).alias("sim"),
                 F.lit(-cid).alias("neg_cid"),
             )
-            for cid, vec in centroids
+            for cid, qv, nb in qcents
         ]
         best = F.array_max(F.array(*qcols))
         history.append(
-            vectors.select(F.avg(best["sim"]).alias("m")).head()["m"]
+            vectors.select(quantized(F.col(vec_col)).alias("_qv"))
+            .withColumn("_nrm", norm_d(F.col("_qv")))
+            .select(F.avg(best["sim"]).alias("m"))
+            .head()["m"]
         )
         centroids = _centroid_means(assigned, vec_col)
         if not centroids:

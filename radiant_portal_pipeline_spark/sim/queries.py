@@ -44,13 +44,24 @@ def s_cosine_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan, no shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(v)) for v in qvec])
-    return emb.select(
-        "vec_id",
-        "label",
-        ann.cosine_q(ann.quantized(F.col("embedding")), ann.quantized(q)).alias(
-            "cosine"
-        ),
+    # query side quantized once (in-engine, bit-exact) and the row side
+    # materialized once — cosine_q over raw expressions re-evaluated the
+    # row transform 3x/row and the query transform+norm per row
+    (_, qq, qn), = ann.quantize_centroids(spark, [(0, list(qvec))])
+    return (
+        emb.select(
+            "vec_id", "label", ann.quantized(F.col("embedding")).alias("_qv")
+        )
+        .withColumn("_nrm", ann.norm_d(F.col("_qv")))
+        .select(
+            "vec_id",
+            "label",
+            ann.cosine_from_parts(
+                ann.dot_q(F.col("_qv"), F.array(*[F.lit(int(x)) for x in qq])),
+                F.col("_nrm"),
+                F.lit(float(qn)),
+            ).alias("cosine"),
+        )
     )
 
 

@@ -528,3 +528,25 @@ def test_decontaminate_flags_overlap_and_spares_clean_docs(spark):
     assert got[1] == (2, True), got  # 'the quick brown', 'quick brown fox'
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_quantize_py_bit_exact_vs_spark(spark, sf_correct):
+    """The driver-side quantizer (used for the constant query/centroid
+    side of cosine scoring, so hot paths don't pay a Spark job per
+    quantization) must reproduce Spark's ROUND HALF_UP integers and the
+    IEEE norm EXACTLY — over every vector in the corpus, not a sample."""
+    import math
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        ann.quantized(F.col("embedding")).alias("q"),
+        ann.norm_d(ann.quantized(F.col("embedding"))).alias("n"),
+    ).collect()
+    assert rows
+    for r in rows:
+        pq = ann.quantize_py(list(r["embedding"]))
+        assert pq == list(r["q"]), f"vec {r['vec_id']} quantization drift"
+        pn = math.sqrt(float(sum(x * x for x in pq)))
+        assert pn == r["n"], f"vec {r['vec_id']} norm drift"
