@@ -116,7 +116,14 @@ def exact_jaccard_pairs(
     """All-pairs n-gram Jaccard via shared-shingle candidates.
     Candidates have ≥1 common shingle, so recall at any threshold > 0 is
     exact — this is the oracle-matchable dedup path. Integer counts →
-    double division is engine-identical."""
+    double division is engine-identical.
+
+    (Round-6 note: a collect_list-per-shingle + HOF pair-explode
+    variant — one exchange of the postings instead of a join of two
+    copies — was measured marginally SLOWER at bench scale (3.5 vs
+    3.3 s interleaved A/B) and equal in results; the join form is kept
+    as the measured-faster plan. The cap keeps the join's per-shingle
+    blow-up bounded either way.)"""
     sh, _freq = _capped_shingles(docs, k, max_shingle_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -233,26 +240,35 @@ def dedup_groups(
     )
     prev_ckpt = None
     prev_sum = None
-    for _ in range(max_iters):
+    label_t = dict(labels.dtypes)["label"]
+    sum_convergence = label_t in (
+        "bigint", "int", "smallint", "tinyint"
+    ) or label_t.startswith("decimal")
+    for it in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
-        new_labels = ck.cut(  # cut the iterative lineage
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        new_labels = labels.union(nbr).groupBy("node").agg(
+            F.min("label").alias("label")
         )
         # min-label propagation is MONOTONE (labels only decrease), so
-        # convergence == the label sum stopped moving — one tiny agg
-        # over the fresh checkpoint instead of a self-join per round.
-        # Non-numeric ids (e.g. hash strings) have no sum: fall back to
-        # counting rows that still differ from the previous labels.
-        label_t = dict(new_labels.dtypes)["label"]
-        if label_t in ("bigint", "int", "smallint", "tinyint") or label_t.startswith(
-            "decimal"
-        ):
-            new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # convergence == the label sum stopped moving. The sum rides
+        # the checkpoint materialization itself as an observed metric —
+        # zero extra jobs per round (it used to be one small agg job
+        # per round; guide §1.2: per-round fixed costs dominate the
+        # tail iterations of an iterative operator). Non-numeric ids
+        # (e.g. hash strings) have no sum: fall back to counting rows
+        # that still differ from the previous labels.
+        if sum_convergence:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"cc_round_{it}")
+            new_labels = ck.cut(new_labels.observe(obs, F.sum("label")))
+            new_sum = obs.get["sum(label)"]
             converged = new_sum == prev_sum
             prev_sum_next = new_sum
         else:
+            new_labels = ck.cut(new_labels)
             converged = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
