@@ -901,13 +901,33 @@ class TranscriptMergeEngine:
                 ]
         if not parts:
             return []
+        from radiant_portal_pipeline_spark.cdc.dedup import argmax_eligible
+
+        fold_in = self.table.read(partitions=parts, version=base_version)
+        keys = [S.PART_COL, *self.key_cols]
+        # NEVER inherit an append_only engine default here: folding is
+        # compaction's entire purpose. But DO give the fold the same
+        # broadcast upgrade the apply path has: one thin estimator job
+        # bounds the distinct-key count, and a bounded fold runs the
+        # broadcast semi join — zero full-row exchanges before the
+        # layout repartition — instead of shuffling every table row
+        # through the SHUFFLE_HASH join (an update-heavy table folds
+        # many appended versions down to few keys, exactly the
+        # broadcast shape). Unbounded folds keep the shuffled argmax.
+        plan = "adaptive"
+        if argmax_eligible(fold_in, keys, [self.lsn_col]):
+            est = self._estimate_batch(fold_in)
+            if (
+                est is not None
+                and est["n"]
+                and est["nk"] <= self.broadcast_max_winners
+            ):
+                plan = "argmax_broadcast"
         folded = self._dedup_and_layout(
-            self.table.read(partitions=parts, version=base_version),
-            [S.PART_COL, *self.key_cols],
+            fold_in,
+            keys,
             [self.lsn_col],
-            # NEVER inherit an append_only engine default here: folding
-            # is compaction's entire purpose
-            plan="adaptive",
+            plan=plan,
         )
         if purge_tombstones_below is not None:
             folded = folded.filter(
