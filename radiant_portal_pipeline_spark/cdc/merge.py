@@ -93,6 +93,7 @@ class TranscriptMergeEngine:
         estimate_every: int = 1,
         hot_split_enabled: bool = True,
         hot_split_max_convs: int = 1000,
+        compact_broadcast_min_bytes: int = 64 << 20,
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -148,6 +149,10 @@ class TranscriptMergeEngine:
         self.hot_split_enabled = bool(hot_split_enabled)
         self.hot_split_max_convs = int(hot_split_max_convs)
         self._hot_convs: list | None = None
+        # compact(): minimum manifest-recorded fold size before the
+        # broadcast-upgrade estimator runs (see compact) — small folds
+        # are fixed-cost-bound and keep the estimator-free plan
+        self.compact_broadcast_min_bytes = int(compact_broadcast_min_bytes)
         # dead-letter table: when set, contract-violating rows (NULL
         # merge key / NULL lsn) are SPLIT OUT with a reason and the
         # valid remainder merges; when None (default), the in-plan
@@ -906,16 +911,32 @@ class TranscriptMergeEngine:
         fold_in = self.table.read(partitions=parts, version=base_version)
         keys = [S.PART_COL, *self.key_cols]
         # NEVER inherit an append_only engine default here: folding is
-        # compaction's entire purpose. But DO give the fold the same
+        # compaction's entire purpose. But DO give LARGE folds the same
         # broadcast upgrade the apply path has: one thin estimator job
         # bounds the distinct-key count, and a bounded fold runs the
         # broadcast semi join — zero full-row exchanges before the
         # layout repartition — instead of shuffling every table row
         # through the SHUFFLE_HASH join (an update-heavy table folds
         # many appended versions down to few keys, exactly the
-        # broadcast shape). Unbounded folds keep the shuffled argmax.
+        # broadcast shape). Small folds skip the estimator outright:
+        # below tens of MB the shuffled join is all fixed cost anyway
+        # and the extra job measurably loses (round-6 A/B on a 412k-row
+        # fold: +0.25 s). The size gate reads the manifest's per-file
+        # _bytes — zero Spark jobs; files with unknown size count as
+        # large (conservative toward estimating, never toward skipping
+        # a profitable upgrade). Unbounded folds keep shuffled argmax.
         plan = "adaptive"
-        if argmax_eligible(fold_in, keys, [self.lsn_col]):
+        fold_bytes = 0
+        stats_known = True
+        for p in parts:
+            for f in snap.files.get(p, []):
+                b = snap.stats.get(f, {}).get("_bytes")
+                if b is None:
+                    stats_known = False
+                else:
+                    fold_bytes += int(b)
+        big_fold = (not stats_known) or fold_bytes >= self.compact_broadcast_min_bytes
+        if big_fold and argmax_eligible(fold_in, keys, [self.lsn_col]):
             est = self._estimate_batch(fold_in)
             if (
                 est is not None

@@ -973,3 +973,36 @@ def test_source_bucketed_elides_layout_exchange_and_stays_equal(spark, tmp_path)
 
     with _pt.raises(ValueError, match="MoR"):
         eng.merge_batch(keyed, epoch=0, source_bucketed=True)
+
+
+def test_compact_broadcast_upgrade_gated_by_fold_size(spark, tmp_path):
+    """compact() runs the broadcast-upgrade estimator only when the
+    manifest-recorded fold size clears compact_broadcast_min_bytes:
+    tiny folds keep the estimator-free shuffled plan (the extra job
+    measurably loses there), large update-shaped folds get the
+    broadcast semi join. Results are identical either way."""
+    from radiant_portal_pipeline_spark.cdc.feed import synthetic_feed
+
+    feed = synthetic_feed(spark, 20_000, n_convs=97)
+
+    def build(name, min_bytes):
+        tbl = TranscriptMergeEngine.create_table(
+            spark, str(tmp_path / name), num_buckets=4
+        )
+        eng = TranscriptMergeEngine(
+            tbl, num_buckets=4, compact_broadcast_min_bytes=min_bytes
+        )
+        eng.merge_batch(feed, epoch=0)
+        calls = []
+        orig = eng._estimate_batch
+        eng._estimate_batch = lambda df: (calls.append(1), orig(df))[1]
+        eng.compact()
+        return eng, len(calls)
+
+    small_gate, n_small = build("small", 1 << 40)  # gate far above fold size
+    big_gate, n_big = build("big", 0)  # gate at zero: always estimate
+    assert n_small == 0, "sub-threshold fold must skip the estimator"
+    assert n_big == 1, "cleared threshold must run the estimator once"
+    a = sorted(map(tuple, small_gate.current_state().collect()))
+    b = sorted(map(tuple, big_gate.current_state().collect()))
+    assert a == b and a, "plan choice must never change the folded state"
