@@ -93,7 +93,7 @@ class TranscriptMergeEngine:
         estimate_every: int = 1,
         hot_split_enabled: bool = True,
         hot_split_max_convs: int = 1000,
-        compact_broadcast_min_bytes: int = 64 << 20,
+        compact_broadcast_min_bytes: int = 256 << 20,
     ):
         if mode not in ("mor", "cow"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -919,9 +919,10 @@ class TranscriptMergeEngine:
         # through the SHUFFLE_HASH join (an update-heavy table folds
         # many appended versions down to few keys, exactly the
         # broadcast shape). Small folds skip the estimator outright:
-        # below tens of MB the shuffled join is all fixed cost anyway
-        # and the extra job measurably loses (round-6 A/B on a 412k-row
-        # fold: +0.25 s). The size gate reads the manifest's per-file
+        # the A/B is a wash up to ~70 MB (fixed costs dominate; the
+        # extra job costs what the saved exchange saves) and the
+        # broadcast wins 10-35% at an 858 MB / 32M-row fold (round-6
+        # measurements). The size gate reads the manifest's per-file
         # _bytes — zero Spark jobs; files with unknown size count as
         # large (conservative toward estimating, never toward skipping
         # a profitable upgrade). Unbounded folds keep shuffled argmax.
