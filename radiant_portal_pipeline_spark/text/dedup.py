@@ -439,7 +439,13 @@ def minhash_lsh_dedup(
         *_min_exprs(hash_family)
     ).select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialized: the band self-join references the signature frame
+    # on BOTH sides, and Spark reuses only identical exchanges, not
+    # arbitrary subplans — without the cut the whole signature
+    # aggregation (scan + groupBy) executes twice (round-6 plan audit:
+    # the md5 _r projection appeared twice in the physical plan). The
+    # frame is one row per document (tiny at any scale).
     cands = lsh_candidate_pairs(sigs, hash_family=hash_family)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = _shared_counts_for_candidates(cands, sh)
@@ -517,7 +523,10 @@ def simhash_near_pairs(
     n_bands = max_hamming + 1
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sh = simhash64(docs, hash_family=hash_family)
+    # materialized for the same reason as the minhash signatures: the
+    # band self-join would otherwise evaluate the per-row 64-bit HOF
+    # fold twice (once per join side); one row per document
+    sh = simhash64(docs, hash_family=hash_family).localCheckpoint(eager=True)
     band_structs = ", ".join(
         f"struct({i} AS band_id, "
         f"shiftright(simhash, {offsets[i]}) & {(1 << widths[i]) - 1}L AS band_val)"
