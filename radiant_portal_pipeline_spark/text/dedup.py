@@ -164,7 +164,8 @@ def prefix_filtered_jaccard_pairs(
     rarity rank (no single-partition sort)."""
     from radiant_portal_pipeline_spark.operators.relational import sequential_ids
 
-    sh, freq = _capped_shingles(docs, k, max_shingle_freq)
+    ck = IterCheckpointer()
+    sh, freq = _capped_shingles(docs, k, max_shingle_freq, ck=ck)
     # global rarity order: (document frequency asc, shingle asc) packed
     # into one lexicographic key for the range-partitioned ranker —
     # freq is REUSED from the cap pass, not recomputed
@@ -187,7 +188,11 @@ def prefix_filtered_jaccard_pairs(
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1,
         )
     )
-    prefix = with_pos.filter("in_prefix").select("doc_id", "shingle")
+    # materialized: the candidate self-join references the prefix frame
+    # on both sides, and without the cut the whole rank-join + window
+    # subtree executes twice (same round-6 finding as the sketch
+    # signature frames)
+    prefix = ck.cut(with_pos.filter("in_prefix").select("doc_id", "shingle"))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
