@@ -34,12 +34,26 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Kryo for broadcast/closure serialization (SQL shuffles stay
+        # UnsafeRow either way): measured ~3% on the merge apply via
+        # the winners-relation broadcast (round-6 interleaved A/B:
+        # 9.91->9.66, 9.03->8.74 s at 8 cores); standard at any scale
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    # deployment/config escape hatch: ";"-separated key=value pairs,
+    # applied before the caller's extra_conf (so code-level settings
+    # win). Keeps scale-dependent tuning parameterised per the
+    # deployment instead of hard-coded (e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.files.maxPartitionBytes=1g").
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
