@@ -66,9 +66,21 @@ def _capped_shingles(
     sh = ck.cut(sh)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_shingle_freq is not None:
+        # cut hot shingles with an ANTI join against the HOT set, not a
+        # semi join against the OK set (round 6): the hot set (df >
+        # cap) is the small side at every scale — a handful of
+        # stop-shingles vs ~all distinct shingles — so it broadcasts
+        # long after the OK set would have forced a shuffled semi join
+        # (guide §3.1/§3.2 applied in reverse). The tiny hot frame is
+        # materialized once, and a corpus with NO hot shingles skips
+        # the cut (and its second postings materialization) outright —
+        # the filter would keep every row.
+        hot = ck.cut(
+            freq.filter(F.col("df") > max_shingle_freq).select("shingle")
+        )
         freq = freq.filter(F.col("df") <= max_shingle_freq)
-        # the uncapped postings stay alive: freq reads them lazily
-        sh = ck.cut(sh.join(freq.select("shingle"), "shingle", "left_semi"))
+        if hot.take(1):
+            sh = ck.cut(sh.join(hot, "shingle", "left_anti"))
     return sh, freq
 
 
